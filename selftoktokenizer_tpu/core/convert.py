@@ -1,0 +1,94 @@
+"""Torch-checkpoint -> JAX param-tree converters.
+
+This is the conformance linchpin: reference checkpoints (``ImageTokenizer``
+state dicts, SD3 VAE ``first_stage_model.`` dicts) load into the TPU build's
+param pytrees through the converters here. Keyed off the reference state-dict
+names (SelftokPipeline.py:190-195, sd3_impls.py).
+
+Layout changes applied:
+* torch Linear [out, in]  -> [in, out]
+* torch Conv2d OIHW       -> HWIO
+* PatchEmbed conv kernels -> flattened [p*p*C, D] matmul weights (matching
+  the patchify reshape order in ops/linear.py:patch_embed)
+* per-depth block params  -> stacked along a leading depth axis (lax.scan)
+
+Works on any mapping str -> array-like (torch tensors or numpy arrays), so
+torch is only required by callers that load .pth files.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _np(t):
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def t_linear(sd, prefix, bias=True):
+    p = {"w": np.ascontiguousarray(_np(sd[prefix + ".weight"]).T)}
+    if bias and prefix + ".bias" in sd:
+        p["b"] = _np(sd[prefix + ".bias"])
+    return p
+
+
+def t_layernorm(sd, prefix):
+    return {"scale": _np(sd[prefix + ".weight"]), "bias": _np(sd[prefix + ".bias"])}
+
+
+def t_groupnorm(sd, prefix):
+    return t_layernorm(sd, prefix)
+
+
+def t_rmsnorm(sd, prefix):
+    return {"weight": _np(sd[prefix + ".weight"])}
+
+
+def t_conv2d(sd, prefix):
+    w = _np(sd[prefix + ".weight"])  # OIHW
+    p = {"w": np.ascontiguousarray(w.transpose(2, 3, 1, 0))}  # HWIO
+    if prefix + ".bias" in sd:
+        p["b"] = _np(sd[prefix + ".bias"])
+    return p
+
+
+def t_patch_embed(sd, prefix):
+    """Conv kernel [D, C, p, p] -> [p*p*C, D] so that
+    patchify order [dy, dx, c] @ w reproduces the conv exactly."""
+    w = _np(sd[prefix + ".proj.weight"])  # D C p p
+    d = w.shape[0]
+    w = w.transpose(2, 3, 1, 0).reshape(-1, d)  # (p p C) D
+    return {"w": np.ascontiguousarray(w), "b": _np(sd[prefix + ".proj.bias"])}
+
+
+def t_mlp(sd, prefix):
+    return {"fc1": t_linear(sd, prefix + ".fc1"), "fc2": t_linear(sd, prefix + ".fc2")}
+
+
+def t_timestep_embedder(sd, prefix):
+    return {"mlp0": t_linear(sd, prefix + ".mlp.0"),
+            "mlp2": t_linear(sd, prefix + ".mlp.2")}
+
+
+def t_vector_embedder(sd, prefix):
+    return {"mlp0": t_linear(sd, prefix + ".mlp.0"),
+            "mlp2": t_linear(sd, prefix + ".mlp.2")}
+
+
+def stack_blocks(block_list):
+    """List of per-depth param dicts -> one dict of depth-stacked leaves."""
+    import jax
+
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs, axis=0), *block_list)
+
+
+def strip_prefix(sd, prefix):
+    """Sub-dict view of keys under ``prefix`` (prefix removed)."""
+    n = len(prefix)
+    return {k[n:]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+def has_prefix(sd, prefix):
+    return any(k.startswith(prefix) for k in sd)

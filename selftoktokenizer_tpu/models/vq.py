@@ -1,0 +1,364 @@
+"""Cosine-similarity EMA vector quantizer.
+
+Behavioural spec: mimogpt/models/selftok/vector_quantize_pytorch.py
+(CosineSimCodebook:329-620, VectorQuantize:623-1080) and quantizer.py:4-33.
+
+Inference path (this file, `vq_apply` / `vq_encode`):
+    project_in (latent_dim -> code_dim) -> l2norm -> cosine distances against
+    the 32768 x 16 codebook -> argmax -> code gather.
+    Runs fp32; the distance+argmax is the conformance-critical op (token ids
+    must match the reference bit-for-bit) and has a Pallas fused kernel in
+    ops/vq_kernels.py for the TPU hot path (the XLA path here is the
+    reference implementation for it).
+
+Training path (`vq_train_apply` + `VQState`):
+    The reference mutates registered buffers in-place and calls
+    ``dist.all_reduce`` on the one-hot statistics
+    (vector_quantize_pytorch.py:566-611). TPU-natively, the EMA state is an
+    explicit pytree threaded through the train step; batch statistics are
+    summed over the *global* batch, so under pjit with the batch sharded on
+    the ``data`` mesh axis XLA inserts the cross-chip reduction
+    automatically — no NCCL analog needed.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from selftoktokenizer_tpu.ops.linear import linear, linear_init
+
+
+def l2norm(t, eps=1e-12):
+    """torch F.normalize(p=2, dim=-1) semantics: x / max(||x||, eps)."""
+    n = jnp.linalg.norm(t, axis=-1, keepdims=True)
+    return t / jnp.maximum(n, eps)
+
+
+def vq_init(key, latent_dim, code_dim, codebook_size, output_dim=None,
+            dtype=jnp.float32):
+    k1, k2, k3 = jax.random.split(key, 3)
+    p = {}
+    if code_dim != latent_dim:
+        p["project_in"] = linear_init(k1, latent_dim, code_dim, dtype=dtype,
+                                      init="torch")
+    if output_dim is not None and output_dim != code_dim:
+        p["project_out"] = linear_init(k2, code_dim, output_dim, dtype=dtype,
+                                       init="torch")
+    # kaiming-uniform then l2norm, like the reference's uniform_init + l2norm
+    bound = (6.0 / code_dim) ** 0.5  # kaiming uniform a=sqrt(5) on fan_in=code_dim
+    embed = jax.random.uniform(k3, (codebook_size, code_dim), dtype, -bound, bound)
+    p["embed"] = l2norm(embed)
+    return p
+
+
+def project_in(p, x):
+    return linear(p["project_in"], x) if "project_in" in p else x
+
+
+def project_out(p, x):
+    return linear(p["project_out"], x) if "project_out" in p else x
+
+
+def vq_distances(p, z):
+    """Cosine distances of l2-normalized inputs against the codebook.
+
+    z: [..., code_dim] (already l2-normalized). Returns [..., codebook_size].
+    fp32, HIGHEST matmul precision — op-order identical to the reference's
+    ``einsum('h n d, h c d -> h n c')`` (vector_quantize_pytorch.py:561).
+    """
+    return jax.lax.dot_general(
+        z.astype(jnp.float32), p["embed"].astype(jnp.float32),
+        dimension_numbers=(((z.ndim - 1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def vq_encode(p, x):
+    """x: [B, K, latent_dim] -> (ids [B,K] int32, z [B,K,code_dim])."""
+    z = l2norm(project_in(p, x).astype(jnp.float32))
+    dist = vq_distances(p, z)
+    return jnp.argmax(dist, axis=-1).astype(jnp.int32), z
+
+
+def get_codes_from_indices(p, indices):
+    """Codebook gather (vector_quantize_pytorch.py:787-805)."""
+    return p["embed"][indices]
+
+
+def get_output_from_indices(p, indices):
+    """Gather + optional out-projection (vector_quantize_pytorch.py:807-809)."""
+    return project_out(p, get_codes_from_indices(p, indices))
+
+
+def vq_apply(p, x, training=False, state=None, mask=None):
+    """Eval-mode VectorQuantize.forward subset (ids + quantized vectors).
+
+    Returns (quantize, ids, loss, log_dict) matching the reference eval
+    semantics: quantize is the raw code vector (projected out), no straight-
+    through, zero loss. Training uses `vq_train_apply`.
+    """
+    del training, state, mask
+    ids, z = vq_encode(p, x)
+    quant = get_codes_from_indices(p, ids)
+    cos = jnp.einsum("...d,...d->...", quant, z)
+    quant = project_out(p, quant.astype(x.dtype))
+    return quant, ids, jnp.zeros((), x.dtype), {"cosine_sim": jnp.mean(cos)}
+
+
+# ---------------------------------------------------------------------------
+# Training: explicit EMA codebook state
+# ---------------------------------------------------------------------------
+
+class VQState(NamedTuple):
+    """EMA statistics the reference keeps as mutated buffers
+    (vector_quantize_pytorch.py:381-402, 764-767)."""
+    embed: jnp.ndarray             # [C, D] — authoritative codebook
+    cluster_size: jnp.ndarray      # [C]
+    embed_avg: jnp.ndarray         # [C, D]
+    timestep_p_over_c: jnp.ndarray # [K, C] token-position code-usage EMA
+    count: jnp.ndarray             # [C] lifetime usage counter
+    steps: jnp.ndarray             # scalar int
+    initted: jnp.ndarray           # scalar bool (kmeans init done)
+
+
+def vq_state_init(p, K: int) -> VQState:
+    C, D = p["embed"].shape
+    return VQState(
+        embed=p["embed"].astype(jnp.float32),
+        cluster_size=jnp.zeros((C,), jnp.float32),
+        embed_avg=p["embed"].astype(jnp.float32),
+        timestep_p_over_c=jnp.full((K, C), 1.0 / C, jnp.float32),
+        count=jnp.zeros((C,), jnp.float32),
+        steps=jnp.zeros((), jnp.int32),
+        initted=jnp.zeros((), jnp.bool_),
+    )
+
+
+def _laplace_smoothing(x, n_categories, eps=1e-5):
+    denom = jnp.sum(x, axis=-1, keepdims=True)
+    return (x + eps) / (denom + n_categories * eps)
+
+
+def _calc_entropy(logits):
+    """calc_entropy (vector_quantize_pytorch.py:89-100): returns
+    (H(E[p]) to maximize, E[H(p)] to minimize) of softmaxed logits [N, C]."""
+    pl = jax.nn.log_softmax(logits, axis=-1)
+    pr = jnp.exp(pl)
+    ap = jnp.mean(pr, axis=0)
+    entropy_to_max = -jnp.sum(ap * jnp.log(ap))
+    entropy_to_min = jnp.mean(-jnp.sum(pr * pl, axis=-1))
+    return entropy_to_max, entropy_to_min
+
+
+def _calc_ema_entropy(dist, onehot_ema, ratio_d, groups=64):
+    """calc_ema_entropy (vector_quantize_pytorch.py:109-118)."""
+    pr = jax.nn.softmax(dist, axis=-1)
+    ap = jnp.mean(pr.reshape(-1, pr.shape[-1]), axis=0)
+    ema_p = onehot_ema * (1 - ratio_d) + ap * ratio_d
+    ent1 = jnp.mean(-jnp.sum(ema_p * jnp.log(ema_p), axis=-1))
+    g = ema_p.reshape(groups, -1, ema_p.shape[-1]).mean(axis=1)
+    ent2 = jnp.mean(-jnp.sum(g * jnp.log(g), axis=-1))
+    return ent1, ent2
+
+
+def vq_train_apply(p, state: VQState, x, cfg, rng=None):
+    """Training forward + EMA codebook update.
+
+    cfg: dict-like with decay, commitment_weight (w_commit), diversity_weight
+    (w_diversity), reg, ema_entropy_ratio, threshold_ema_dead_code,
+    reset_cluster_size, codebook_size, continuous (ref quantizer_config).
+
+    Returns (quantize_st, ids, loss, new_state, log_dict). Gradients flow to
+    ``project_in`` (and project_out) through the straight-through estimator
+    and the commitment/diversity losses; the codebook itself updates by EMA
+    in ``new_state`` (pure; caller swaps p['embed'] <- state.embed).
+
+    Statistics (bins, embed_sum, per-position usage) are computed over the
+    full (global) batch; under pjit the cross-device psum is inserted by XLA
+    — this is the TPU-native replacement for the reference's
+    ``dist.all_reduce`` calls (vector_quantize_pytorch.py:571-596).
+    """
+    decay = cfg.get("decay", 0.99)
+    B, K, _ = x.shape
+    C = p["embed"].shape[0]
+
+    z = l2norm(project_in(p, x).astype(jnp.float32))
+    embed = jax.lax.stop_gradient(state.embed)
+    flat = z.reshape(1, B * K, -1)
+    dist = jnp.einsum("hnd,cd->hnc", flat, embed,
+                      precision=jax.lax.Precision.HIGHEST)
+    ids = jnp.argmax(dist, axis=-1)  # [1, B*K]
+    onehot = jax.nn.one_hot(ids, C, dtype=jnp.float32)  # [1, B*K, C]
+    quantize = embed[ids.reshape(B, K)]
+
+    # --- EMA statistics (global sums) -------------------------------------
+    unpacked = onehot.reshape(B, K, C)
+    batch_t_p_over_c = unpacked.mean(axis=0)                      # [K, C]
+    tpc_decay = jnp.where(state.initted, decay, 0.3)
+    new_tpc = state.timestep_p_over_c * tpc_decay + batch_t_p_over_c * (1 - tpc_decay)
+
+    bins = onehot[0].sum(axis=0)                                  # [C]
+    embed_sum = jnp.einsum("nd,nc->cd", flat[0], onehot[0])       # [C, D]
+    new_cluster = state.cluster_size * decay + bins * (1 - decay)
+    new_embed_avg = state.embed_avg * decay + embed_sum * (1 - decay)
+    cs = _laplace_smoothing(new_cluster, C) * jnp.sum(new_cluster)
+    embed_normalized = l2norm(new_embed_avg / cs[:, None])
+    delta_embed = jnp.sum((embed - embed_normalized) ** 2)
+
+    # --- dead-code reactivation ("smart react") ---------------------------
+    # ref: expire_codes_/replace (vector_quantize_pytorch.py:488-523) —
+    # resample dead codes from batch vectors, weighted toward token positions
+    # with low perplexity. jit-friendly: always gather C candidate vectors,
+    # select them only where the code is dead.
+    threshold = cfg.get("threshold_ema_dead_code", 0.0)
+    reset_cluster_size = cfg.get("reset_cluster_size", threshold)
+    if threshold and rng is not None:
+        # relative->absolute threshold (vector_quantize_pytorch.py:538-543):
+        # scaled by global tokens per step / codebook size.
+        ratio = (B * K) / C
+        abs_threshold = ratio * threshold
+        abs_reset = ratio * reset_cluster_size
+        dead = new_cluster < abs_threshold
+        perp = jnp.exp(-jnp.sum(new_tpc * jnp.log(new_tpc + 1e-10), axis=-1))  # [K]
+        w = 1.0 / perp
+        w = jax.nn.softmax(w / jnp.max(w) * 10.0)                  # [K]
+        flat_w = jnp.broadcast_to(w[None, :], (B, K)).reshape(-1) / B
+        cand_idx = jax.random.choice(rng, B * K, (C,), p=flat_w)
+        cand = l2norm(flat[0][cand_idx])
+        new_embed = jnp.where(dead[:, None], cand, embed_normalized)
+        new_embed_avg = jnp.where(dead[:, None], cand * abs_reset, new_embed_avg)
+        new_cluster = jnp.where(dead, abs_reset, new_cluster)
+        n_reactive = jnp.sum(dead)
+    else:
+        new_embed = embed_normalized
+        n_reactive = jnp.zeros((), jnp.int32)
+
+    # --- losses -----------------------------------------------------------
+    commit = jnp.sum((jax.lax.stop_gradient(quantize) - z) ** 2) / z.size
+    scaled = dist[0] * 10.0
+    entropy_to_max, entropy_to_min = _calc_entropy(scaled)
+    loss = cfg.get("w_commit", 1.0) * commit
+    if cfg.get("smart_react", True):
+        cb_ent, grp_ent = _calc_ema_entropy(
+            dist * 10.0, state.timestep_p_over_c,
+            ratio_d=1.0 - cfg.get("ema_entropy_ratio", 0.7))
+        entropy = 0.5 * (cb_ent + grp_ent)
+        group_perp = jnp.mean(jnp.exp(
+            -jnp.sum(state.timestep_p_over_c * jnp.log(state.timestep_p_over_c + 1e-10),
+                     axis=-1)))
+        frac = group_perp / C
+        reg = cfg.get("reg", [0.25, 0.5])
+        wgt = jnp.where(frac < reg[0], 0.5,
+                        jnp.maximum(0.5 - 0.5 / (reg[1] - reg[0]) * (frac - reg[0]), 0.0))
+        diversity = -cfg.get("w_diversity", 1.0) * wgt * entropy
+        perplexity = group_perp
+        diversity_entropy = cb_ent
+    else:
+        diversity = -cfg.get("w_diversity", 1.0) * entropy_to_max
+        perplexity = jnp.exp(entropy_to_max)
+        diversity_entropy = entropy_to_max
+    loss = loss + diversity
+
+    # straight-through
+    quant_st = z + jax.lax.stop_gradient(quantize - z)
+    quant_out = project_out(p, quant_st)
+
+    new_state = VQState(
+        embed=new_embed,
+        cluster_size=new_cluster,
+        embed_avg=new_embed_avg,
+        timestep_p_over_c=new_tpc,
+        count=state.count + onehot[0].sum(axis=0),
+        steps=state.steps + 1,
+        initted=jnp.ones((), jnp.bool_),
+    )
+    log_dict = {
+        "commit_loss": commit,
+        "perplexity": perplexity,
+        "diversity_entropy": diversity_entropy,
+        "deterministic_entropy": entropy_to_min,
+        "delta_embed": delta_embed,
+        "n_reactive": n_reactive,
+        "cosine_sim": jnp.mean(jnp.einsum("bkd,bkd->bk",
+                                          quantize, jax.lax.stop_gradient(z))),
+    }
+    return quant_out, ids.reshape(B, K), loss, new_state, log_dict
+
+
+def kmeans_cosine(rng, samples, num_clusters, num_iters=10):
+    """Cosine k-means codebook init (ref: vector_quantize_pytorch.py:276-307).
+
+    samples: [N, D] l2-normalized. Deterministic given rng; in the
+    distributed setting, run on the *global* sample set (all-gathered by XLA
+    when sharded) instead of the reference's per-rank quota dance
+    (sample_vectors_distributed, :249-265).
+    """
+    n = samples.shape[0]
+    idx = jax.random.permutation(rng, n)[:num_clusters] if n >= num_clusters \
+        else jax.random.randint(rng, (num_clusters,), 0, n)
+    means = samples[idx]
+
+    def body(_, means):
+        dists = samples @ means.T
+        buckets = jnp.argmax(dists, axis=-1)
+        bins = jnp.zeros((num_clusters,), jnp.float32).at[buckets].add(1.0)
+        sums = jnp.zeros_like(means).at[buckets].add(samples)
+        new = l2norm(sums / jnp.maximum(bins, 1.0)[:, None])
+        return jnp.where((bins == 0)[:, None], means, new)
+
+    return jax.lax.fori_loop(0, num_iters, body, means)
+
+
+# ---------------------------------------------------------------------------
+# torch state-dict -> param tree
+# ---------------------------------------------------------------------------
+
+def vq_from_state_dict(sd):
+    """Convert a reference ``VectorQuantize`` sub-state-dict (keys relative to
+    the quantizer module: project_in.*, _codebook.embed, ...)."""
+    from selftoktokenizer_tpu.core import convert as cv
+
+    p = {}
+    if cv.has_prefix(sd, "project_in.weight"):
+        p["project_in"] = cv.t_linear(sd, "project_in")
+    if cv.has_prefix(sd, "project_out.weight"):
+        p["project_out"] = cv.t_linear(sd, "project_out")
+    embed = cv._np(sd["_codebook.embed"])
+    if embed.ndim == 3:  # [num_codebooks=1, C, D]
+        embed = embed[0]
+    p["embed"] = embed
+    return p
+
+
+def vq_state_from_state_dict(sd, K: int) -> VQState:
+    from selftoktokenizer_tpu.core import convert as cv
+
+    def get(name, default=None):
+        if name in sd:
+            a = cv._np(sd[name])
+            return a[0] if a.ndim > 1 and a.shape[0] == 1 and "embed" not in name else a
+        return default
+
+    embed = cv._np(sd["_codebook.embed"])
+    embed = embed[0] if embed.ndim == 3 else embed
+    C = embed.shape[0]
+    cluster = get("_codebook.cluster_size", jnp.zeros((C,)))
+    cluster = cluster[0] if cluster.ndim == 2 else cluster
+    embed_avg = cv._np(sd.get("_codebook.embed_avg", embed))
+    embed_avg = embed_avg[0] if embed_avg.ndim == 3 else embed_avg
+    tpc = cv._np(sd["_codebook.timestep_p_over_c"])[0] \
+        if "_codebook.timestep_p_over_c" in sd else jnp.full((K, C), 1.0 / C)
+    count = get("count", jnp.zeros((C,)))
+    count = count[0] if hasattr(count, "ndim") and count.ndim == 2 else count
+    return VQState(
+        embed=jnp.asarray(embed, jnp.float32),
+        cluster_size=jnp.asarray(cluster, jnp.float32),
+        embed_avg=jnp.asarray(embed_avg, jnp.float32),
+        timestep_p_over_c=jnp.asarray(tpc, jnp.float32),
+        count=jnp.asarray(count, jnp.float32),
+        steps=jnp.asarray(int(cv._np(sd["steps"])[0]) if "steps" in sd else 0, jnp.int32),
+        initted=jnp.asarray(bool(cv._np(sd["_codebook.initted"])[0]) if "_codebook.initted" in sd else True),
+    )

@@ -1,0 +1,59 @@
+"""Scaled dot-product attention.
+
+The reference routes every attention through cuDNN SDPA or
+``torch_npu.npu_fusion_attention`` (other_impls.py:37-62, modules.py:218-266).
+Here the portable path is a jnp einsum softmax (XLA fuses and tiles it well at
+the sequence lengths this model uses, <= ~4k), and a Pallas flash-attention
+kernel (ops/flash_attention.py) covers the TPU hot path.
+
+Mask semantics match torch SDPA: boolean mask True = attend; float mask is an
+additive bias. Softmax statistics in fp32.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = float("-inf")
+
+
+def sdpa(q, k, v, mask=None, scale: Optional[float] = None):
+    """q,k,v: [B, H, L, D] (mask broadcastable to [B, H, Lq, Lk])."""
+    d = q.shape[-1]
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        if mask.dtype == jnp.bool_:
+            logits = jnp.where(mask, logits, _NEG_INF)
+        else:
+            logits = logits + mask.astype(logits.dtype)
+    w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", w, v)
+
+
+def sdpa_key_mask(q, k, v, key_mask=None, scale: Optional[float] = None):
+    """SDPA where the mask is per-key only: key_mask [B, Lk] bool.
+
+    Every mask the Selftok decode path builds (mmdit.py:1060-1094) has
+    identical rows — the [B,1,L,L] tensor is a broadcast of a per-key vector —
+    so this form avoids materializing the L x L mask.
+    """
+    if key_mask is None:
+        return sdpa(q, k, v, scale=scale)
+    bias = jnp.where(key_mask, 0.0, _NEG_INF).astype(jnp.float32)
+    return sdpa(q, k, v, mask=bias[:, None, None, :], scale=scale)
+
+
+def mha(q, k, v, heads: int, mask=None):
+    """Multi-head attention on flat [B, L, H*D] tensors — the reference's
+    ``attention()`` wrapper shape convention (other_impls.py:37-44)."""
+    b, lq, c = q.shape
+    d = c // heads
+    split = lambda t: t.reshape(b, t.shape[1], heads, d).transpose(0, 2, 1, 3)
+    out = sdpa(split(q), split(k), split(v), mask=mask)
+    return out.transpose(0, 2, 1, 3).reshape(b, lq, c)
