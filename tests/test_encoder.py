@@ -73,11 +73,11 @@ def test_qformer_encoder_matches_reference(variant):
     )[variant]
     if variant == "bi":
         # bidirectional requires dim == query_dim, num_heads == query_heads
-        ref = get_ref()
-        torch.manual_seed(0)
-        enc, diti = build_ref_encoder(**kw)  # will assert; rebuild manually
-    enc, diti = build_ref_encoder(**kw) if variant != "bi" else build_ref_bi()
-    cfg = jax_cfg(**kw) if variant != "bi" else bi_cfg()
+        enc, diti = build_ref_bi()
+        cfg = bi_cfg()
+    else:
+        enc, diti = build_ref_encoder(**kw)
+        cfg = jax_cfg(**kw)
 
     x = np.random.default_rng(1).standard_normal((2, 16, LATENT, LATENT)).astype(np.float32)
     with torch.no_grad():
