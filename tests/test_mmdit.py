@@ -1,0 +1,171 @@
+"""MMDiT / MMDiT_Renderer golden tests vs the reference (tiny depth-3 config)."""
+
+import numpy as np
+import torch
+import jax.numpy as jnp
+
+from tests.ref_loader import get_ref
+from selftoktokenizer_tpu.models.mmdit import (
+    MMDiTConfig, mmdit_apply, mmdit_cfg_inference, mmdit_from_state_dict,
+    renderer_apply, precompute_context_mods)
+
+DEPTH = 3
+HIDDEN = 64 * DEPTH
+K = 6
+ENC_HIDDEN = 8
+LATENT = 8  # 8x8 latents -> 16 patches at p=2
+
+
+def build_ref_mmdit(renderer=False, time_adaln="pos_emb", seed=0):
+    ref = get_ref()
+    torch.manual_seed(seed)
+    diti = ref.diti_utils.DiTi_cont(1000, K, "500,1000", "4,2")
+    kwargs = dict(
+        pos_embed_scaling_factor=None, pos_embed_offset=None,
+        pos_embed_max_size=LATENT, patch_size=2, depth=DEPTH,
+        num_patches=LATENT * LATENT,
+        adm_in_channels=ENC_HIDDEN,
+        context_embedder_config={
+            "target": "torch.nn.Linear",
+            "params": {"in_features": ENC_HIDDEN, "out_features": HIDDEN}},
+        device="cpu", dtype=torch.float,
+        K=K, input_size=LATENT, in_channels=16,
+        sd3_cond_pooling=None, class_dropout_prob=0.1,
+        train_filter=None, freeze_filter=[], init_method=None,
+        # use_checkpoint=False is bit-rotted in the reference (passes
+        # use_reentrant into _forward, mmdit.py:606); keep the default True
+        time_adaln=time_adaln, diti=diti, use_checkpoint=True,
+    )
+    cls = ref.mmdit.MMDiT_Renderer if renderer else ref.mmdit.MMDiT
+    if renderer:
+        kwargs["repeat"] = True
+    m = cls(**kwargs)
+    m.eval()
+    with torch.no_grad():
+        if not renderer:
+            m.pos_embed.copy_(torch.randn_like(m.pos_embed) * 0.02)
+    return m
+
+
+def jax_cfg(renderer=False, time_adaln="pos_emb"):
+    return MMDiTConfig(
+        depth=DEPTH, K=K, patch_size=2, in_channels=16,
+        pos_embed_max_size=LATENT, num_patches=LATENT * LATENT,
+        encoder_hidden_size=ENC_HIDDEN, context_dim=HIDDEN,
+        adm_in_channels=ENC_HIDDEN, time_adaln=time_adaln,
+        renderer=renderer, input_size=LATENT, repeat_mask_token=True)
+
+
+def _np_sd(m):
+    return {k: v.detach().numpy() for k, v in m.state_dict().items()}
+
+
+def test_mmdit_forward_matches_reference():
+    m = build_ref_mmdit()
+    cfg = jax_cfg()
+    params = mmdit_from_state_dict(_np_sd(m), cfg)
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 16, LATENT, LATENT)).astype(np.float32)
+    ehs = rng.standard_normal((2, K, ENC_HIDDEN)).astype(np.float32)
+    t = np.array([0.73, 0.21], dtype=np.float32)
+    mask = np.array([[1, 1, 1, 0, 0, 0], [1, 1, 1, 1, 1, 0]], dtype=np.float32)
+
+    with torch.no_grad():
+        want, drop = m(torch.from_numpy(x), torch.from_numpy(t),
+                       encoder_hidden_states=torch.from_numpy(ehs),
+                       mask=torch.from_numpy(mask), context_see_xt=True)
+    got = mmdit_apply(params, cfg, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                      jnp.asarray(t), jnp.asarray(ehs),
+                      mask=jnp.asarray(mask, bool), context_see_xt=True)
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want.numpy(), rtol=2e-3, atol=2e-4)
+
+
+def test_mmdit_context_blind_mask():
+    """context_see_xt=False exercises the two-row-block mask path."""
+    m = build_ref_mmdit(seed=1)
+    cfg = jax_cfg()
+    params = mmdit_from_state_dict(_np_sd(m), cfg)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 16, LATENT, LATENT)).astype(np.float32)
+    ehs = rng.standard_normal((2, K, ENC_HIDDEN)).astype(np.float32)
+    t = np.array([0.5, 0.9], dtype=np.float32)
+    mask = np.array([[1, 1, 0, 0, 0, 0], [1, 1, 1, 1, 1, 1]], dtype=np.float32)
+    with torch.no_grad():
+        want, _ = m(torch.from_numpy(x), torch.from_numpy(t),
+                    encoder_hidden_states=torch.from_numpy(ehs),
+                    mask=torch.from_numpy(mask), context_see_xt=False)
+    got = mmdit_apply(params, cfg, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                      jnp.asarray(t), jnp.asarray(ehs),
+                      mask=jnp.asarray(mask, bool), context_see_xt=False)
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want.numpy(), rtol=2e-3, atol=2e-4)
+
+
+def test_mmdit_t_emb_mode():
+    """time_adaln='t_emb' for the context stream (no per-position table)."""
+    m = build_ref_mmdit(time_adaln="t_emb", seed=2)
+    cfg = jax_cfg(time_adaln="t_emb")
+    params = mmdit_from_state_dict(_np_sd(m), cfg)
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((1, 16, LATENT, LATENT)).astype(np.float32)
+    ehs = rng.standard_normal((1, K, ENC_HIDDEN)).astype(np.float32)
+    t = np.array([0.4], dtype=np.float32)
+    with torch.no_grad():
+        want, _ = m(torch.from_numpy(x), torch.from_numpy(t),
+                    encoder_hidden_states=torch.from_numpy(ehs),
+                    context_see_xt=True)
+    got = mmdit_apply(params, cfg, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                      jnp.asarray(t), jnp.asarray(ehs), context_see_xt=True)
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want.numpy(), rtol=2e-3, atol=2e-4)
+
+
+def test_cfg_inference_matches_reference():
+    m = build_ref_mmdit(seed=3)
+    cfg = jax_cfg()
+    params = mmdit_from_state_dict(_np_sd(m), cfg)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, 16, LATENT, LATENT)).astype(np.float32)
+    ehs = rng.standard_normal((2, K, ENC_HIDDEN)).astype(np.float32)
+    t = np.array([0.5, 0.9], dtype=np.float32)
+    uncond_mask = np.zeros((2, K), dtype=np.int32)
+    with torch.no_grad():
+        want = m.cfg_inference(torch.from_numpy(x), torch.from_numpy(t), None,
+                               None, mask=torch.from_numpy(uncond_mask),
+                               shape=K)
+    got = mmdit_cfg_inference(params, cfg, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                              jnp.asarray(t), None,
+                              mask=jnp.asarray(uncond_mask, bool))
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want.numpy(), rtol=2e-3, atol=2e-4)
+
+
+def test_renderer_matches_reference():
+    m = build_ref_mmdit(renderer=True, seed=4)
+    cfg = jax_cfg(renderer=True)
+    params = mmdit_from_state_dict(_np_sd(m), cfg)
+    rng = np.random.default_rng(4)
+    ehs = rng.standard_normal((2, K, ENC_HIDDEN)).astype(np.float32)
+    with torch.no_grad():
+        want, _ = m(y=None, encoder_hidden_states=torch.from_numpy(ehs))
+    got = renderer_apply(params, cfg, jnp.asarray(ehs))
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want.numpy(), rtol=2e-3, atol=2e-4)
+
+
+def test_precomputed_mods_consistency():
+    """The hoisted context-mod table equals per-call computation."""
+    m = build_ref_mmdit(seed=5)
+    cfg = jax_cfg()
+    params = mmdit_from_state_dict(_np_sd(m), cfg)
+    mods = precompute_context_mods(params, cfg)
+    assert mods.shape == (DEPTH - 1, K, 6 * HIDDEN)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((1, LATENT, LATENT, 16)), jnp.float32)
+    ehs = jnp.asarray(rng.standard_normal((1, K, ENC_HIDDEN)), jnp.float32)
+    t = jnp.asarray([0.6], jnp.float32)
+    a = mmdit_apply(params, cfg, x, t, ehs, context_see_xt=True)
+    b = mmdit_apply(params, cfg, x, t, ehs, context_see_xt=True, ctx_mods=mods)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
