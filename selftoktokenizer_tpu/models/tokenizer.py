@@ -1,0 +1,205 @@
+"""ImageTokenizer / ImageRenderer composites: config assembly, param init,
+checkpoint conversion, and the training loss graph.
+
+Behavioural spec: mimogpt/models/selftok/image_tokenizer.py:58-296 and
+image_renderer.py:56-162. The YAML `tokenizer.params` schema of the reference
+configs is consumed unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from selftoktokenizer_tpu.core import convert as cv
+from selftoktokenizer_tpu.models import flow as flow_mod
+from selftoktokenizer_tpu.models import vq as vq_mod
+from selftoktokenizer_tpu.models.diti import make_diti
+from selftoktokenizer_tpu.models.encoder import (
+    EncoderConfig, encoder_apply, encoder_from_state_dict, encoder_init)
+from selftoktokenizer_tpu.models.mmdit import (
+    MMDiTConfig, mmdit_apply, mmdit_from_state_dict, mmdit_init,
+    renderer_apply)
+from selftoktokenizer_tpu.models.zoo import (
+    build_decoder_config, build_encoder_config)
+
+MAX_LATENT_SIZE = 384  # image_tokenizer.py:28
+
+
+@dataclasses.dataclass
+class TokenizerConfig:
+    encoder: EncoderConfig
+    decoder: MMDiTConfig
+    k: int
+    t2k: float
+    stages: Optional[str]
+    k_per_stage: Optional[str]
+    k_m: Optional[float]
+    k_s: Optional[float]
+    image_size: int
+    context_see_xt: bool
+    diffusion: dict                  # noise_schedule_config
+    quantizer: dict                  # quantizer_config (training hyperparams)
+    enc_name: str = ""
+    model_name: str = ""
+
+    @property
+    def latent_size(self):
+        return self.image_size // 8
+
+    def make_diti(self):
+        return make_diti(self.k, self.stages, self.k_per_stage,
+                         self.k_m, self.k_s)
+
+
+def _none(v):
+    """YAML 'None' strings -> real None (the reference configs spell None as
+    a bare `None`, which YAML parses as the string 'None')."""
+    return None if v in (None, "None", "") else v
+
+
+def tokenizer_config_from_params(params) -> TokenizerConfig:
+    """Build from the YAML ``tokenizer.params`` mapping
+    (image_tokenizer.py:59-147 constructor logic)."""
+    p = dict(params)
+    image_size = p["image_size"]
+    latent_size = image_size // 8
+    k = p["k"]
+    enc = p["enc"]
+    stages = _none(p.get("stages"))
+    enc_cfg_in = dict(p.get("encoder_config", {}))
+    dec_cfg_in = dict(p.get("decoder_config", {}))
+    qcfg = dict(p.get("quantizer_config", {}))
+    qcfg.pop("smart_react", None)
+
+    if "Qformer" in enc and p.get("enable_enc_variable_size", False):
+        enc_cfg_in["pos_embed_max_size"] = 2 * latent_size
+
+    encoder = build_encoder_config(
+        enc, K=k, input_size=latent_size,
+        encoder_hidden_size=p["encoder_hidden_size"],
+        in_channels=p.get("in_channels", 16),
+        quantizer_config=qcfg, encoder_config=enc_cfg_in)
+    decoder = build_decoder_config(
+        p["model"], K=k, input_size=latent_size,
+        encoder_hidden_size=p["encoder_hidden_size"],
+        in_channels=p.get("in_channels", 16), decoder_config=dec_cfg_in)
+    return TokenizerConfig(
+        encoder=encoder, decoder=decoder, k=k, t2k=p.get("t2k", 1.0),
+        stages=stages, k_per_stage=_none(p.get("k_per_stage")),
+        k_m=p.get("k_m"), k_s=p.get("k_s"), image_size=image_size,
+        context_see_xt=p.get("context_see_xt", False),
+        diffusion=dict(p.get("noise_schedule_config", {})),
+        quantizer=qcfg, enc_name=enc, model_name=p["model"])
+
+
+def tokenizer_init(key, cfg: TokenizerConfig, dtype=jnp.float32):
+    ek, dk = jax.random.split(key)
+    return {"encoder": encoder_init(ek, cfg.encoder, dtype),
+            "model": mmdit_init(dk, cfg.decoder, dtype)}
+
+
+def tokenizer_from_state_dict(sd, cfg: TokenizerConfig):
+    """Convert a full reference ImageTokenizer/ImageRenderer state dict
+    (keys 'encoder.*' / 'model.*', with optional DDP 'module.' prefixes —
+    SelftokPipeline.py load path :190-195)."""
+    sd = {k[len("module."):] if k.startswith("module.") else k: v
+          for k, v in sd.items()}
+    return {
+        "encoder": encoder_from_state_dict(cv.strip_prefix(sd, "encoder."),
+                                           cfg.encoder),
+        "model": mmdit_from_state_dict(cv.strip_prefix(sd, "model."),
+                                       cfg.decoder),
+    }
+
+
+def resolution_shift(latent_h, latent_w):
+    """Resolution-dependent flow shift (image_tokenizer.py:208-213):
+    1.0 below 2048 latent pixels, 1.878 at/above."""
+    return 1.0 if (latent_h * latent_w / 4096.0) < 0.5 else 1.878
+
+
+def tokenizer_loss(params, cfg: TokenizerConfig, x, rng, vq_state=None,
+                   full_tokens=False, train_quantizer=True):
+    """Training forward (image_tokenizer.py:203-296): sample t, map to token
+    depth k, encode+quantize, flow-matching loss with CFG condition drop.
+
+    x: NHWC latents [B,h,w,C]. Returns (loss, aux) where aux carries the new
+    VQ EMA state and the log dict. Pure — thread vq_state through steps.
+    """
+    B, h, w, _ = x.shape
+    shift = resolution_shift(h, w)
+    diti = cfg.make_diti()
+    r_t, r_noise, r_drop, r_react = jax.random.split(rng, 4)
+
+    t = jax.random.uniform(r_t, (B,))
+    scale = 1000.0 if cfg.stages is not None else 1.0
+    if full_tokens:
+        k_batch = diti.to_indices(jnp.ones_like(t) * scale)
+    else:
+        t_tmp = jnp.clip(cfg.t2k * t, 0, 1.0)
+        k_batch = diti.to_indices(t_tmp * scale)
+    t = flow_mod.shift_t(t, shift)
+
+    # encoder trunk (training=True threads the EMA quantizer state)
+    from selftoktokenizer_tpu.models.encoder import (
+        _embed_patches, get_encoder_outs, get_encoder_mask)
+    from selftoktokenizer_tpu.ops.norms import layer_norm
+
+    x_emb = _embed_patches(params["encoder"], cfg.encoder, x)
+    outs = get_encoder_outs(params["encoder"], cfg.encoder, x_emb)
+    if cfg.encoder.pre_norm:
+        outs = layer_norm(outs, **params["encoder"]["final_layer_norm"])
+    if train_quantizer and vq_state is not None:
+        outs_q, ids, quan_loss, new_vq_state, vq_logs = vq_mod.vq_train_apply(
+            params["encoder"]["quantizer"], vq_state, outs, cfg.quantizer,
+            rng=r_react)
+    else:
+        outs_q, ids, quan_loss, vq_logs = vq_mod.vq_apply(
+            params["encoder"]["quantizer"], outs)
+        new_vq_state = vq_state
+    if cfg.encoder.post_norm:
+        outs_q = layer_norm(outs_q, **params["encoder"]["final_layer_norm3"])
+
+    enc_mask = get_encoder_mask(cfg.encoder, k_batch)
+    ehs = outs_q * enc_mask[..., None].astype(outs_q.dtype)
+
+    # CFG condition drop (mmdit.py:935-963) — rng-driven here, not module-state
+    drop_p = cfg.decoder.class_dropout_prob
+    drop_ids = (jax.random.uniform(r_drop, (B,)) < drop_p) if drop_p > 0 else None
+
+    noise = jax.random.normal(r_noise, x.shape, x.dtype)
+
+    def model_fn(x_t, tt):
+        return mmdit_apply(params["model"], cfg.decoder, x_t, tt, ehs,
+                           mask=enc_mask, context_see_xt=cfg.context_see_xt,
+                           drop_ids=drop_ids)
+
+    terms = flow_mod.training_losses(
+        model_fn, x, t, noise,
+        parameterization=cfg.diffusion.get("parameterization", "velocity"),
+        force_recon=cfg.diffusion.get("force_recon", False),
+        drop_ids=drop_ids)
+    batch_mse = jnp.mean(terms["loss"])
+    loss = batch_mse + quan_loss
+    log_dict = {
+        "loss": loss, "dm_mse": batch_mse,
+        "loss_small": terms["small"], "loss_mid": terms["mid"],
+        "loss_large": terms["large"], "loss_uncon": terms["uncon"],
+        **{f"vq_{k}": v for k, v in vq_logs.items()},
+    }
+    return loss, {"vq_state": new_vq_state, "log_dict": log_dict, "ids": ids}
+
+
+def renderer_loss(params, cfg: TokenizerConfig, x, rng=None):
+    """ImageRenderer.forward (image_renderer.py:143-162): all K tokens
+    active, one-step reconstruction. Returns (ids, hidden, pred_x0)."""
+    B = x.shape[0]
+    d = jnp.full((B,), cfg.k - 1, jnp.int32)
+    ehs, _, ori_hidden, mask, _, _, ids = encoder_apply(
+        params["encoder"], cfg.encoder, x, d=d)
+    pred_x0 = renderer_apply(params["model"], cfg.decoder, ehs, mask=mask)
+    return ids, ori_hidden, pred_x0

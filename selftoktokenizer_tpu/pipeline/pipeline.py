@@ -1,0 +1,205 @@
+"""SelftokPipeline — the end-user encode / decode / render API.
+
+Behavioural spec: mimogpt/infer/SelftokPipeline.py:153-322. Differences by
+design (TPU-first):
+
+* every stage is a jit-compiled pure function over param pytrees; shapes are
+  static per (datasize, K) pair,
+* the 50-step diffusion decode is ONE compiled ``lax.scan`` with a
+  precomputed per-step token-mask table — no per-step Python, no per-step
+  encoder re-run (cf. rectified_flow.py:213-215),
+* the MMDiT context-stream adaLN table is precomputed once per weight load
+  (see models/mmdit.py:precompute_context_mods),
+* images/latents are NHWC.
+
+Checkpoints: loads reference ``.pth`` state dicts (ImageTokenizer layout,
+'module.'-prefix tolerant, 'ema_state_dict' aware — SelftokPipeline.py:
+190-195) through the torch-free converters, or Orbax-saved param trees.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from selftoktokenizer_tpu.core import convert as cv
+from selftoktokenizer_tpu.models import flow as flow_mod
+from selftoktokenizer_tpu.models import vq as vq_mod
+from selftoktokenizer_tpu.models.encoder import encoder_apply
+from selftoktokenizer_tpu.models.mmdit import (
+    mmdit_apply, mmdit_cfg_inference, precompute_context_mods, renderer_apply)
+from selftoktokenizer_tpu.models.tokenizer import (
+    TokenizerConfig, tokenizer_config_from_params, tokenizer_from_state_dict,
+    tokenizer_init)
+from selftoktokenizer_tpu.models.vae import (
+    SD3LatentFormat, VAEConfig, vae_decode, vae_encode_mode,
+    vae_from_state_dict, vae_init)
+from selftoktokenizer_tpu.ops.norms import layer_norm
+
+
+def load_torch_checkpoint(path):
+    """Load a reference .pth into a plain {name: np.ndarray} dict."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: v for k, v in sd.items() if hasattr(v, "shape")}
+
+
+class SelftokPipeline:
+    """encode(images) -> token ids; decode(ids) -> images; render(ids) -> images.
+
+    cfg: the YAML config (AttrDict from core.config.load_config) using the
+    reference's schema. ckpt_path: reference .pth (or None for random init).
+    vae_path: sd3 .pt with 'first_stage_model.' keys (or None: random VAE).
+    """
+
+    def __init__(self, cfg, ckpt_path=None, vae_path=None, datasize=256,
+                 steps=50, start=1.0, cfg_scale=1.0, ema_decoder=False,
+                 decode_dtype=jnp.float32, seed=0, cond_vary=True):
+        self.cfg = cfg
+        self.datasize = datasize
+        self.cfg_scale = cfg_scale
+        self.decode_dtype = decode_dtype
+
+        params_src = dict(cfg.tokenizer.params)
+        self.tcfg: TokenizerConfig = tokenizer_config_from_params(params_src)
+        self.diti = self.tcfg.make_diti()
+        self.K = self.tcfg.k
+        self.is_renderer = self.tcfg.decoder.renderer
+
+        key = jax.random.PRNGKey(seed)
+        if ckpt_path is not None:
+            sd = load_torch_checkpoint(ckpt_path)
+            if ema_decoder and any(k.startswith("ema_state_dict") for k in sd):
+                # EMA weights stored under 'ema_state_dict' (SelftokPipeline.py:193)
+                sd = cv.strip_prefix(sd, "ema_state_dict.")
+            self.params = tokenizer_from_state_dict(sd, self.tcfg)
+        else:
+            self.params = tokenizer_init(key, self.tcfg)
+
+        self.vae_cfg = VAEConfig()
+        if vae_path is not None:
+            vsd = load_torch_checkpoint(vae_path)
+            if cv.has_prefix(vsd, "first_stage_model."):
+                vsd = cv.strip_prefix(vsd, "first_stage_model.")
+            self.vae_params = vae_from_state_dict(vsd, self.vae_cfg)
+        else:
+            self.vae_params = vae_init(jax.random.fold_in(key, 1), self.vae_cfg)
+
+        # decode-time schedule + per-step token-count table
+        self.steps = steps
+        self.sched = flow_mod.make_schedule(
+            steps, start, "uniform", shift=1.0)
+        self.step_k = flow_mod.precompute_step_k(self.diti, self.sched,
+                                                 t2k=self.tcfg.t2k)
+        self.cond_vary = cond_vary
+        self.parameterization = self.tcfg.diffusion.get(
+            "parameterization", "velocity")
+
+        # hoist the per-position context adaLN table out of the decode loop
+        self._ctx_mods = None
+        if self.tcfg.decoder.time_adaln == "pos_emb":
+            self._ctx_mods = precompute_context_mods(
+                self.params["model"], self.tcfg.decoder)
+
+        self._encode_jit = jax.jit(self._encode_impl)
+        self._decode_jit = jax.jit(self._decode_impl)
+        self._render_jit = jax.jit(self._render_impl)
+        self._latent_decode_jit = jax.jit(self._latent_decode_impl)
+
+    # ------------------------------------------------------------------ API
+
+    def encoding(self, images):
+        """images: NHWC float [-1,1] (np or jnp) -> token ids [B, K] int32.
+        (SelftokPipeline.encoding:210-225)."""
+        return self._encode_jit(jnp.asarray(images))
+
+    def decoding(self, ids, rng=None):
+        """ids: [B,K] int -> reconstructed images NHWC float [0,1]
+        (SelftokPipeline.decoding:227-294: 50-step diffusion decode)."""
+        ids = jnp.asarray(ids)
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        latent = self.datasize // 8
+        noise = jax.random.normal(rng, (ids.shape[0], latent, latent, 16),
+                                  jnp.float32)
+        return self._decode_jit(ids, noise)
+
+    def decoding_with_renderer(self, ids):
+        """One-step renderer decode (SelftokPipeline.decoding_with_renderer
+        :296-322)."""
+        return self._render_jit(jnp.asarray(ids))
+
+    def decode_latents(self, latents):
+        """VAE-decode latents (already in model space) to [0,1] images."""
+        return self._latent_decode_jit(jnp.asarray(latents))
+
+    # ------------------------------------------------------- jitted impls
+
+    def _encode_impl(self, images):
+        x0 = vae_encode_mode(self.vae_params, self.vae_cfg,
+                             images.astype(jnp.bfloat16))
+        x0 = SD3LatentFormat.process_in(x0).astype(jnp.float32)
+        _, ids = encoder_apply(self.params["encoder"], self.tcfg.encoder, x0)
+        return ids
+
+    def _tokens_to_context(self, ids):
+        outs_q = vq_mod.get_output_from_indices(
+            self.params["encoder"]["quantizer"], ids)
+        if self.tcfg.encoder.post_norm:
+            outs_q = layer_norm(
+                outs_q, **self.params["encoder"]["final_layer_norm3"])
+        return outs_q
+
+    def _decode_impl(self, ids, noise):
+        outs_q = self._tokens_to_context(ids)
+        k0 = self.step_k[0]
+        mask0 = jnp.arange(self.K)[None, :] <= k0
+        ehs = outs_q * mask0[..., None].astype(outs_q.dtype)
+
+        dd = self.decode_dtype
+        mp = jax.tree_util.tree_map(lambda a: a.astype(dd), self.params["model"])
+        mods = None if self._ctx_mods is None else self._ctx_mods.astype(dd)
+
+        def model_fn(x, t, e, mask):
+            v = mmdit_apply(mp, self.tcfg.decoder, x.astype(dd), t,
+                            e.astype(dd), mask=mask, context_see_xt=True,
+                            ctx_mods=mods)
+            return v.astype(jnp.float32)
+
+        uncond_fn = None
+        if self.cfg_scale != 1.0:
+            def uncond_fn(x, t, e, mask):
+                v = mmdit_cfg_inference(
+                    mp, self.tcfg.decoder, x.astype(dd), t, None,
+                    mask=jnp.zeros_like(mask), ctx_mods=mods)
+                return v.astype(jnp.float32)
+
+        pred_x0 = flow_mod.p_sample_loop(
+            model_fn, self.sched, noise, ehs,
+            step_k=self.step_k if self.cond_vary else None, K=self.K,
+            cfg_scale=self.cfg_scale, uncond_fn=uncond_fn,
+            parameterization=self.parameterization)
+        return self._latents_to_images(pred_x0)
+
+    def _render_impl(self, ids):
+        outs_q = self._tokens_to_context(ids)
+        pred_x0 = renderer_apply(self.params["model"], self.tcfg.decoder,
+                                 outs_q)
+        return self._latents_to_images(pred_x0)
+
+    def _latent_decode_impl(self, latents):
+        return self._latents_to_images(latents)
+
+    def _latents_to_images(self, pred_x0):
+        out = SD3LatentFormat.process_out(pred_x0).astype(jnp.bfloat16)
+        recon = vae_decode(self.vae_params, self.vae_cfg, out)
+        recon = jnp.clip(recon.astype(jnp.float32), -1.0, 1.0)
+        return (recon + 1.0) / 2.0  # norm_ip(-1,1) (SelftokPipeline.py:135-137)
