@@ -122,6 +122,7 @@ class VQState(NamedTuple):
     count: jnp.ndarray             # [C] lifetime usage counter
     steps: jnp.ndarray             # scalar int
     initted: jnp.ndarray           # scalar bool (kmeans init done)
+    tpc_initted: jnp.ndarray       # scalar bool (timestep_p_over_c seeded)
 
 
 def vq_state_init(p, K: int) -> VQState:
@@ -134,6 +135,7 @@ def vq_state_init(p, K: int) -> VQState:
         count=jnp.zeros((C,), jnp.float32),
         steps=jnp.zeros((), jnp.int32),
         initted=jnp.zeros((), jnp.bool_),
+        tpc_initted=jnp.zeros((), jnp.bool_),
     )
 
 
@@ -154,12 +156,18 @@ def _calc_entropy(logits):
 
 
 def _calc_ema_entropy(dist, onehot_ema, ratio_d, groups=64):
-    """calc_ema_entropy (vector_quantize_pytorch.py:109-118)."""
+    """calc_ema_entropy (vector_quantize_pytorch.py:109-118).
+
+    dist: [B, K, C] scaled distances; onehot_ema: [K, C] position-usage EMA.
+    Group entropy pools over chunks of the K axis (tensor_split(64, dim=0));
+    for K < 64 we use K groups (the reference would emit empty chunks)."""
     pr = jax.nn.softmax(dist, axis=-1)
-    ap = jnp.mean(pr.reshape(-1, pr.shape[-1]), axis=0)
+    ap = jnp.mean(pr, axis=0)                       # [K, C] batch-mean
     ema_p = onehot_ema * (1 - ratio_d) + ap * ratio_d
     ent1 = jnp.mean(-jnp.sum(ema_p * jnp.log(ema_p), axis=-1))
-    g = ema_p.reshape(groups, -1, ema_p.shape[-1]).mean(axis=1)
+    K = ema_p.shape[0]
+    g_n = min(groups, K)
+    g = ema_p.reshape(g_n, K // g_n, -1).mean(axis=1)
     ent2 = jnp.mean(-jnp.sum(g * jnp.log(g), axis=-1))
     return ent1, ent2
 
@@ -197,7 +205,8 @@ def vq_train_apply(p, state: VQState, x, cfg, rng=None):
     # --- EMA statistics (global sums) -------------------------------------
     unpacked = onehot.reshape(B, K, C)
     batch_t_p_over_c = unpacked.mean(axis=0)                      # [K, C]
-    tpc_decay = jnp.where(state.initted, decay, 0.3)
+    # first update uses decay 0.3 (vector_quantize_pytorch.py:575-578)
+    tpc_decay = jnp.where(state.tpc_initted, decay, 0.3)
     new_tpc = state.timestep_p_over_c * tpc_decay + batch_t_p_over_c * (1 - tpc_decay)
 
     bins = onehot[0].sum(axis=0)                                  # [C]
@@ -242,13 +251,14 @@ def vq_train_apply(p, state: VQState, x, cfg, rng=None):
     entropy_to_max, entropy_to_min = _calc_entropy(scaled)
     loss = cfg.get("w_commit", 1.0) * commit
     if cfg.get("smart_react", True):
+        # the reference reads timestep_p_over_c AFTER the codebook forward
+        # updated it (vector_quantize_pytorch.py:571-578 then :1014-1025)
         cb_ent, grp_ent = _calc_ema_entropy(
-            dist * 10.0, state.timestep_p_over_c,
+            (dist * 10.0).reshape(B, K, C), new_tpc,
             ratio_d=1.0 - cfg.get("ema_entropy_ratio", 0.7))
         entropy = 0.5 * (cb_ent + grp_ent)
         group_perp = jnp.mean(jnp.exp(
-            -jnp.sum(state.timestep_p_over_c * jnp.log(state.timestep_p_over_c + 1e-10),
-                     axis=-1)))
+            -jnp.sum(new_tpc * jnp.log(new_tpc + 1e-10), axis=-1)))
         frac = group_perp / C
         reg = cfg.get("reg", [0.25, 0.5])
         wgt = jnp.where(frac < reg[0], 0.5,
@@ -274,6 +284,7 @@ def vq_train_apply(p, state: VQState, x, cfg, rng=None):
         count=state.count + onehot[0].sum(axis=0),
         steps=state.steps + 1,
         initted=jnp.ones((), jnp.bool_),
+        tpc_initted=jnp.ones((), jnp.bool_),
     )
     log_dict = {
         "commit_loss": commit,
@@ -361,4 +372,5 @@ def vq_state_from_state_dict(sd, K: int) -> VQState:
         count=jnp.asarray(count, jnp.float32),
         steps=jnp.asarray(int(cv._np(sd["steps"])[0]) if "steps" in sd else 0, jnp.int32),
         initted=jnp.asarray(bool(cv._np(sd["_codebook.initted"])[0]) if "_codebook.initted" in sd else True),
+        tpc_initted=jnp.asarray(bool(cv._np(sd["_codebook.tpc_initted"])[0]) if "_codebook.tpc_initted" in sd else True),
     )

@@ -1,0 +1,123 @@
+"""Training step for the ImageTokenizer loss graph.
+
+The reference ships the loss modules but no trainer ("training code under
+preparation", README.md:245-247); its config surface defines per-group LRs
+(dit_lr / token_lr, 256-eval.yml:38-46), EMA, grad clipping, warmup. This is
+the TPU-native trainer those configs describe:
+
+* one jit-compiled ``train_step`` over a Mesh — batch on the ``data`` axis,
+  params/optimizer state replicated or fsdp-sharded (parallel/mesh.py),
+* the VQ codebook EMA update is part of the step's pure state transition
+  (models/vq.py); its batch statistics reduce across chips inside jit,
+* per-group learning rates via optax.multi_transform keyed on the top-level
+  module ('model' -> dit_lr, everything else -> token_lr),
+* EMA weights (image_tokenizer.py:44-55 update_ema) as an optional pytree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from selftoktokenizer_tpu.models import vq as vq_mod
+from selftoktokenizer_tpu.models.tokenizer import TokenizerConfig, tokenizer_loss
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    dit_lr: float = 1e-5
+    token_lr: float = 5e-5
+    warmup_steps: int = 0
+    max_steps: int = 100000
+    grad_norm: float = 0.0          # 0 = no clipping (256-eval.yml:37)
+    weight_decay: float = 0.0
+    ema_decay: float = 0.0          # 0 = no EMA copy
+    b1: float = 0.9
+    b2: float = 0.999
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class TokenizerTrainState:
+    params: Any
+    opt_state: Any
+    vq_state: vq_mod.VQState
+    ema_params: Optional[Any]
+    step: jnp.ndarray
+
+    def tree_flatten(self):
+        return ((self.params, self.opt_state, self.vq_state, self.ema_params,
+                 self.step), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def _lr_schedule(base_lr, tc: TrainConfig):
+    if tc.warmup_steps > 0:
+        return optax.warmup_cosine_decay_schedule(
+            0.0, base_lr, tc.warmup_steps, tc.max_steps, end_value=base_lr)
+    return base_lr
+
+
+def make_optimizer(params, tc: TrainConfig):
+    def label_fn(tree):
+        return {k: jax.tree_util.tree_map(lambda _: "dit" if k == "model"
+                                          else "token", v)
+                for k, v in tree.items()}
+
+    def adamw(lr):
+        chain = []
+        if tc.grad_norm > 0:
+            chain.append(optax.clip_by_global_norm(tc.grad_norm))
+        chain.append(optax.adamw(_lr_schedule(lr, tc), b1=tc.b1, b2=tc.b2,
+                                 weight_decay=tc.weight_decay))
+        return optax.chain(*chain)
+
+    return optax.multi_transform(
+        {"dit": adamw(tc.dit_lr), "token": adamw(tc.token_lr)}, label_fn)
+
+
+def make_train_state(params, tcfg: TokenizerConfig, tc: TrainConfig):
+    opt = make_optimizer(params, tc)
+    vq_state = vq_mod.vq_state_init(params["encoder"]["quantizer"], tcfg.k)
+    ema = jax.tree_util.tree_map(jnp.copy, params) if tc.ema_decay > 0 else None
+    return TokenizerTrainState(
+        params=params, opt_state=opt.init(params), vq_state=vq_state,
+        ema_params=ema, step=jnp.zeros((), jnp.int32)), opt
+
+
+def train_step(state: TokenizerTrainState, opt, tcfg: TokenizerConfig,
+               tc: TrainConfig, batch, rng):
+    """One optimizer step. batch: NHWC latents [B,h,w,C] (global batch,
+    sharded on the data axis under jit). Returns (new_state, log_dict)."""
+
+    def loss_fn(params):
+        loss, aux = tokenizer_loss(params, tcfg, batch, rng,
+                                   vq_state=state.vq_state)
+        return loss, aux
+
+    (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    updates, new_opt_state = opt.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+
+    # the EMA-updated codebook is authoritative: write it back into params so
+    # eval/encode paths (which read params) see the fresh codebook
+    new_vq_state = aux["vq_state"]
+    new_params["encoder"]["quantizer"]["embed"] = new_vq_state.embed
+
+    ema = state.ema_params
+    if ema is not None:
+        d = tc.ema_decay
+        ema = jax.tree_util.tree_map(lambda e, p: d * e + (1 - d) * p,
+                                     ema, new_params)
+    logs = dict(aux["log_dict"])
+    logs["grad_norm"] = optax.global_norm(grads)
+    return TokenizerTrainState(
+        params=new_params, opt_state=new_opt_state, vq_state=new_vq_state,
+        ema_params=ema, step=state.step + 1), logs
