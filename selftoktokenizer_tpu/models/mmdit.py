@@ -69,6 +69,8 @@ class MMDiTConfig:
     renderer: bool = False
     input_size: int = 32
     repeat_mask_token: bool = False
+    # Pallas flash-attention for the joint attention (TPU only; auto-gated)
+    use_flash_attention: bool = True
 
     @property
     def hidden_size(self):
@@ -183,7 +185,11 @@ def joint_block_apply(bp, cfg: MMDiTConfig, context, x, c, pos_mods=None,
     q = jnp.concatenate([ctx_qkv[0], x_qkv[0]], axis=2)
     k = jnp.concatenate([ctx_qkv[1], x_qkv[1]], axis=2)
     v = jnp.concatenate([ctx_qkv[2], x_qkv[2]], axis=2)
-    if key_mask is not None:
+    from selftoktokenizer_tpu.ops import flash_attention as fa
+
+    if mask is None and cfg.use_flash_attention and fa.supported(q, k):
+        attn = fa.flash_sdpa_key_mask(q, k, v, key_mask)
+    elif key_mask is not None:
         bias = jnp.where(key_mask, 0.0, -jnp.inf).astype(jnp.float32)
         attn = sdpa(q, k, v, mask=bias[:, None, None, :])
     else:

@@ -96,10 +96,13 @@ def tokenizer_config_from_params(params) -> TokenizerConfig:
         quantizer=qcfg, enc_name=enc, model_name=p["model"])
 
 
-def tokenizer_init(key, cfg: TokenizerConfig, dtype=jnp.float32):
+def tokenizer_init(key, cfg: TokenizerConfig, dtype=jnp.float32,
+                   model_dtype=None):
+    """model_dtype: decoder weights dtype (bf16 halves the 2B-param MMDiT-XL
+    footprint — 8 GB fp32 barely fits v5e HBM alongside activations)."""
     ek, dk = jax.random.split(key)
     return {"encoder": encoder_init(ek, cfg.encoder, dtype),
-            "model": mmdit_init(dk, cfg.decoder, dtype)}
+            "model": mmdit_init(dk, cfg.decoder, model_dtype or dtype)}
 
 
 def tokenizer_from_state_dict(sd, cfg: TokenizerConfig):

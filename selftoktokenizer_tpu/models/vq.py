@@ -76,9 +76,23 @@ def vq_distances(p, z):
     )
 
 
-def vq_encode(p, x):
-    """x: [B, K, latent_dim] -> (ids [B,K] int32, z [B,K,code_dim])."""
+def vq_encode(p, x, use_pallas=None):
+    """x: [B, K, latent_dim] -> (ids [B,K] int32, z [B,K,code_dim]).
+
+    On TPU the distance+argmax runs as the fused Pallas kernel
+    (ops/vq_kernels.py) — O(N) HBM traffic instead of materializing the
+    [N, 32768] score matrix; identical ids (first-occurrence tie-break).
+    """
+    from selftoktokenizer_tpu.ops import vq_kernels as vk
+
     z = l2norm(project_in(p, x).astype(jnp.float32))
+    embed = p["embed"].astype(jnp.float32)
+    flat = z.reshape(-1, z.shape[-1])
+    if use_pallas is None:
+        use_pallas = vk.supported(flat, embed)
+    if use_pallas:
+        ids = vk.vq_argmax(flat, embed).reshape(z.shape[:-1])
+        return ids, z
     dist = vq_distances(p, z)
     return jnp.argmax(dist, axis=-1).astype(jnp.int32), z
 

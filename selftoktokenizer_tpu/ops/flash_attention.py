@@ -1,0 +1,113 @@
+"""Pallas TPU attention kernel for the Selftok sequence regime.
+
+Every attention in this model family runs at L <= ~2.5k (SURVEY §5
+"long-context: none"): MMDiT joint attention 768 tokens @ 256px (1536 @
+512px), encoder query attention 768, head dim 64. At these lengths the whole
+K/V of one head fits VMEM (768 x 64 x 4B = 196 KB), so the kernel is a
+single-pass fused softmax-attention per (batch*head, q-block) grid cell — no
+online-softmax chunking needed — with the per-key boolean mask fused in (the
+reference materializes a [B,1,L,L] mask tensor instead, mmdit.py:1060-1094).
+
+Grid: (B*H, Lq / BLOCK_Q). Per cell:
+  scores[BLOCK_Q, Lk] = q_blk @ K^T * scale   (MXU, fp32 accumulate)
+  scores += key_mask bias                      (VPU)
+  out = softmax(scores) @ V                    (MXU)
+
+Falls back to the XLA einsum path (ops/attention.py) off-TPU or for
+unaligned shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK_Q = 128
+_NEG = -1e30
+
+
+def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, with_mask):
+    q = q_ref[0]                       # [BLOCK_Q, D]
+    k = k_ref[0]                       # [Lk, D]
+    v = v_ref[0]                       # [Lk, D]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale       # [BLOCK_Q, Lk]
+    if with_mask:
+        m = mask_ref[0]                # [1, Lk] float32 (0 keep / 1 drop)
+        s = s + m * _NEG
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s)
+    w = e / jnp.sum(e, axis=-1, keepdims=True)
+    o_ref[0] = jnp.dot(w.astype(v.dtype), v,
+                       preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _flash_mha(q, k, v, maskf, interpret=False):
+    """q: [B,H,Lq,D], k/v: [B,H,Lk,D], maskf: [B,1,Lk] float (0 keep/1 drop)
+    or None."""
+    B, H, Lq, D = q.shape
+    Lk = k.shape[2]
+    scale = 1.0 / math.sqrt(D)
+    with_mask = maskf is not None
+    qf = q.reshape(B * H, Lq, D)
+    kf = k.reshape(B * H, Lk, D)
+    vf = v.reshape(B * H, Lk, D)
+
+    grid = (B * H, Lq // BLOCK_Q)
+    in_specs = [
+        pl.BlockSpec((1, BLOCK_Q, D), lambda b, i: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Lk, D), lambda b, i: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Lk, D), lambda b, i: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [qf, kf, vf]
+    if with_mask:
+        # per-batch key mask, broadcast over heads: index by b // H
+        in_specs.append(pl.BlockSpec(
+            (1, 1, Lk), lambda b, i, H=H: (b // H, 0, 0),
+            memory_space=pltpu.VMEM))
+        args.append(maskf)
+    else:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        args.append(jnp.zeros((1, 1, 1), jnp.float32))
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, scale=scale, with_mask=with_mask),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, BLOCK_Q, D), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * H, Lq, D), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * Lq * Lk * D,
+            bytes_accessed=(qf.size + 2 * kf.size + qf.size) * q.dtype.itemsize,
+            transcendentals=B * H * Lq * Lk,
+        ),
+        interpret=interpret,
+    )(*args)
+    return out.reshape(B, H, Lq, D)
+
+
+def supported(q, k):
+    """Shape-alignment gate for the kernel."""
+    B, H, Lq, D = q.shape
+    Lk = k.shape[2]
+    return (Lq % BLOCK_Q == 0 and D in (64, 128) and Lk % 128 == 0
+            and jax.default_backend() == "tpu")
+
+
+def flash_sdpa_key_mask(q, k, v, key_mask=None, interpret=False):
+    """SDPA with optional per-key mask [B, Lk] (True = attend)."""
+    maskf = None
+    if key_mask is not None:
+        maskf = (~key_mask).astype(jnp.float32)[:, None, :]
+    return _flash_mha(q, k, v, maskf, interpret=interpret)

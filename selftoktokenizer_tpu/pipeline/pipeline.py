@@ -82,7 +82,8 @@ class SelftokPipeline:
                 sd = cv.strip_prefix(sd, "ema_state_dict.")
             self.params = tokenizer_from_state_dict(sd, self.tcfg)
         else:
-            self.params = tokenizer_init(key, self.tcfg)
+            self.params = tokenizer_init(key, self.tcfg,
+                                         model_dtype=decode_dtype)
 
         self.vae_cfg = VAEConfig()
         if vae_path is not None:
@@ -104,11 +105,21 @@ class SelftokPipeline:
             "parameterization", "velocity")
 
         # hoist the per-position context adaLN table out of the decode loop
+        # (computed in fp32 before any decode-dtype cast)
         self._ctx_mods = None
         if self.tcfg.decoder.time_adaln == "pos_emb":
             self._ctx_mods = precompute_context_mods(
                 self.params["model"], self.tcfg.decoder)
 
+        # store decoder weights in the decode dtype (bf16 halves HBM and
+        # doubles MXU throughput; encoder/VQ stay fp32 for token conformance)
+        if decode_dtype != jnp.float32 and \
+                self.params["model"]["t_embedder"]["mlp0"]["w"].dtype != decode_dtype:
+            self.params["model"] = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, decode_dtype), self.params["model"])
+
+        # params are passed as explicit jit arguments (closures would embed
+        # them as HLO constants — hundreds of MB through remote compile)
         self._encode_jit = jax.jit(self._encode_impl)
         self._decode_jit = jax.jit(self._decode_impl)
         self._render_jit = jax.jit(self._render_impl)
@@ -119,7 +130,8 @@ class SelftokPipeline:
     def encoding(self, images):
         """images: NHWC float [-1,1] (np or jnp) -> token ids [B, K] int32.
         (SelftokPipeline.encoding:210-225)."""
-        return self._encode_jit(jnp.asarray(images))
+        return self._encode_jit(self.params["encoder"], self.vae_params,
+                                jnp.asarray(images))
 
     def decoding(self, ids, rng=None):
         """ids: [B,K] int -> reconstructed images NHWC float [0,1]
@@ -130,43 +142,44 @@ class SelftokPipeline:
         latent = self.datasize // 8
         noise = jax.random.normal(rng, (ids.shape[0], latent, latent, 16),
                                   jnp.float32)
-        return self._decode_jit(ids, noise)
+        mods = self._ctx_mods if self._ctx_mods is not None else 0
+        return self._decode_jit(self.params, mods, self.vae_params, ids, noise)
 
     def decoding_with_renderer(self, ids):
         """One-step renderer decode (SelftokPipeline.decoding_with_renderer
         :296-322)."""
-        return self._render_jit(jnp.asarray(ids))
+        mods = self._ctx_mods if self._ctx_mods is not None else 0
+        return self._render_jit(self.params, mods, self.vae_params,
+                                jnp.asarray(ids))
 
     def decode_latents(self, latents):
         """VAE-decode latents (already in model space) to [0,1] images."""
-        return self._latent_decode_jit(jnp.asarray(latents))
+        return self._latent_decode_jit(self.vae_params, jnp.asarray(latents))
 
     # ------------------------------------------------------- jitted impls
 
-    def _encode_impl(self, images):
-        x0 = vae_encode_mode(self.vae_params, self.vae_cfg,
+    def _encode_impl(self, enc_params, vae_params, images):
+        x0 = vae_encode_mode(vae_params, self.vae_cfg,
                              images.astype(jnp.bfloat16))
         x0 = SD3LatentFormat.process_in(x0).astype(jnp.float32)
-        _, ids = encoder_apply(self.params["encoder"], self.tcfg.encoder, x0)
+        _, ids = encoder_apply(enc_params, self.tcfg.encoder, x0)
         return ids
 
-    def _tokens_to_context(self, ids):
-        outs_q = vq_mod.get_output_from_indices(
-            self.params["encoder"]["quantizer"], ids)
+    def _tokens_to_context(self, enc_params, ids):
+        outs_q = vq_mod.get_output_from_indices(enc_params["quantizer"], ids)
         if self.tcfg.encoder.post_norm:
-            outs_q = layer_norm(
-                outs_q, **self.params["encoder"]["final_layer_norm3"])
+            outs_q = layer_norm(outs_q, **enc_params["final_layer_norm3"])
         return outs_q
 
-    def _decode_impl(self, ids, noise):
-        outs_q = self._tokens_to_context(ids)
+    def _decode_impl(self, params, ctx_mods, vae_params, ids, noise):
+        outs_q = self._tokens_to_context(params["encoder"], ids)
         k0 = self.step_k[0]
         mask0 = jnp.arange(self.K)[None, :] <= k0
         ehs = outs_q * mask0[..., None].astype(outs_q.dtype)
 
         dd = self.decode_dtype
-        mp = jax.tree_util.tree_map(lambda a: a.astype(dd), self.params["model"])
-        mods = None if self._ctx_mods is None else self._ctx_mods.astype(dd)
+        mp = jax.tree_util.tree_map(lambda a: a.astype(dd), params["model"])
+        mods = None if self._ctx_mods is None else ctx_mods.astype(dd)
 
         def model_fn(x, t, e, mask):
             v = mmdit_apply(mp, self.tcfg.decoder, x.astype(dd), t,
@@ -187,19 +200,20 @@ class SelftokPipeline:
             step_k=self.step_k if self.cond_vary else None, K=self.K,
             cfg_scale=self.cfg_scale, uncond_fn=uncond_fn,
             parameterization=self.parameterization)
-        return self._latents_to_images(pred_x0)
+        return self._latents_to_images(vae_params, pred_x0)
 
-    def _render_impl(self, ids):
-        outs_q = self._tokens_to_context(ids)
-        pred_x0 = renderer_apply(self.params["model"], self.tcfg.decoder,
-                                 outs_q)
-        return self._latents_to_images(pred_x0)
+    def _render_impl(self, params, ctx_mods, vae_params, ids):
+        outs_q = self._tokens_to_context(params["encoder"], ids)
+        mods = None if self._ctx_mods is None else ctx_mods
+        pred_x0 = renderer_apply(params["model"], self.tcfg.decoder, outs_q,
+                                 ctx_mods=mods)
+        return self._latents_to_images(vae_params, pred_x0)
 
-    def _latent_decode_impl(self, latents):
-        return self._latents_to_images(latents)
+    def _latent_decode_impl(self, vae_params, latents):
+        return self._latents_to_images(vae_params, latents)
 
-    def _latents_to_images(self, pred_x0):
+    def _latents_to_images(self, vae_params, pred_x0):
         out = SD3LatentFormat.process_out(pred_x0).astype(jnp.bfloat16)
-        recon = vae_decode(self.vae_params, self.vae_cfg, out)
+        recon = vae_decode(vae_params, self.vae_cfg, out)
         recon = jnp.clip(recon.astype(jnp.float32), -1.0, 1.0)
         return (recon + 1.0) / 2.0  # norm_ip(-1,1) (SelftokPipeline.py:135-137)
