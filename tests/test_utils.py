@@ -1,0 +1,85 @@
+"""utils: metrics (PSNR/SSIM vs hand-rolled references), meters, checkpoint
+round-trip, partial merge semantics."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from selftoktokenizer_tpu.utils.metrics import (
+    psnr, ssim, StreamingMoments, frechet_distance)
+from selftoktokenizer_tpu.utils.logging import AverageMeter, Timer, Registry
+from selftoktokenizer_tpu.core.checkpoint import (
+    partial_merge, ema_update, save_checkpoint, restore_checkpoint)
+
+
+def test_psnr_basics():
+    a = np.random.default_rng(0).uniform(0, 1, (2, 16, 16, 3)).astype(np.float32)
+    assert float(jnp.min(psnr(jnp.asarray(a), jnp.asarray(a)))) > 100
+    b = np.clip(a + 0.1, 0, 1)
+    mse = np.mean((a - b) ** 2, axis=(1, 2, 3))
+    want = 10 * np.log10(1.0 / mse)
+    np.testing.assert_allclose(np.asarray(psnr(jnp.asarray(a), jnp.asarray(b))),
+                               want, rtol=1e-4)
+
+
+def test_ssim_range_and_identity():
+    a = np.random.default_rng(1).uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    s_same = np.asarray(ssim(jnp.asarray(a), jnp.asarray(a)))
+    np.testing.assert_allclose(s_same, 1.0, atol=1e-4)
+    noise = np.clip(a + np.random.default_rng(2).normal(0, 0.2, a.shape), 0, 1)
+    s_noise = np.asarray(ssim(jnp.asarray(a), jnp.asarray(noise.astype(np.float32))))
+    assert np.all(s_noise < 0.95)
+
+
+def test_fid_zero_for_same_distribution():
+    rng = np.random.default_rng(3)
+    feats = rng.standard_normal((500, 16))
+    m1, m2 = StreamingMoments(16), StreamingMoments(16)
+    m1.update(feats[:250]), m1.update(feats[250:])
+    m2.update(feats)
+    mu1, c1 = m1.mean_cov()
+    mu2, c2 = m2.mean_cov()
+    assert frechet_distance(mu1, c1, mu2, c2) < 1e-6
+    other = rng.standard_normal((500, 16)) + 3.0
+    m3 = StreamingMoments(16)
+    m3.update(other)
+    mu3, c3 = m3.mean_cov()
+    assert frechet_distance(mu1, c1, mu3, c3) > 1.0
+
+
+def test_meter_and_registry():
+    m = AverageMeter("x")
+    m.update(1.0, 2)
+    m.update(3.0, 2)
+    assert m.avg == 2.0
+    r = Registry("test")
+
+    @r.register
+    def foo():
+        return 42
+    assert r.get("foo")() == 42
+
+
+def test_partial_merge_drops_mismatches():
+    params = {"a": {"w": np.zeros((2, 3))}, "b": np.zeros((4,))}
+    incoming = {"a": {"w": np.ones((2, 3))}, "b": np.ones((5,))}
+    logs = []
+    merged = partial_merge(params, incoming, log=logs.append)
+    np.testing.assert_array_equal(merged["a"]["w"], 1.0)
+    np.testing.assert_array_equal(merged["b"], 0.0)  # mismatched, dropped
+    assert any("mismatch" in s for s in logs)
+
+
+def test_ema_update():
+    ema = {"w": jnp.ones((3,))}
+    p = {"w": jnp.zeros((3,))}
+    out = ema_update(ema, p, decay=0.9)
+    np.testing.assert_allclose(np.asarray(out["w"]), 0.9)
+
+
+def test_orbax_roundtrip(tmp_path):
+    tree = {"a": {"w": jnp.arange(6.0).reshape(2, 3)}, "s": jnp.ones((4,))}
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, tree)
+    back = restore_checkpoint(path, like=tree)
+    np.testing.assert_array_equal(np.asarray(back["a"]["w"]),
+                                  np.asarray(tree["a"]["w"]))
