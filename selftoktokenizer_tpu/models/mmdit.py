@@ -446,6 +446,40 @@ def mmdit_cfg_inference(params, cfg: MMDiTConfig, x, t, encoder_hidden_states,
     return unpatchify(out, cfg.patch_size, cfg.out_ch, gh, gw)
 
 
+def renderdit_apply(params, cfg: MMDiTConfig, encoder_hidden_states,
+                    mask=None, x_mask=None, hw=(32, 32), ctx_mods=None):
+    """RenderDiT.forward (renderdit.py:844-896): the earlier standalone
+    renderer — FIXED 16x16 mask-token grid, t=1000, and a per-key mask with
+    identical rows (context tokens DO see the mask-token stream, unlike
+    MMDiT_Renderer's context-blind default)."""
+    B = encoder_hidden_states.shape[0]
+    grid = 16  # renderdit.py:660 hard-codes grid_size = 16
+    mask_tok = jnp.broadcast_to(params["mask_token"],
+                                (B, grid * grid, cfg.hidden_size))
+    x = mask_tok + params["positional_embedding"].astype(mask_tok.dtype)
+    t1000 = jnp.full((B,), 1000.0, jnp.float32)
+    c = timestep_embedder(params["t_embedder"], t1000).astype(x.dtype)
+    if cfg.sd3_cond_pooling:
+        y = _pool_y(params, cfg, encoder_hidden_states,
+                    mask if mask is not None else jnp.ones((B, cfg.K), bool))
+        if y is not None:
+            c = c + y
+    context = linear(params["context_embedder"], encoder_hidden_states)
+    context = (context + params["context_pos_embed"]).astype(x.dtype)
+    if mask is None:
+        mask = jnp.ones((B, cfg.K), bool)
+    if x_mask is None:
+        x_mask = jnp.ones((B, x.shape[1]), bool)
+    key_mask = jnp.concatenate(
+        [jnp.ones((B, cfg.register_length), bool), mask.astype(bool),
+         x_mask.astype(bool)], axis=1)
+    if ctx_mods is None:
+        ctx_mods = precompute_context_mods(params, cfg)
+    out = _trunk(params, cfg, context, x, c, ctx_mods, key_mask=key_mask)
+    p = cfg.patch_size
+    return unpatchify(out, p, cfg.out_ch, hw[0] // p, hw[1] // p)
+
+
 def renderer_apply(params, cfg: MMDiTConfig, encoder_hidden_states, mask=None,
                    ctx_mods=None):
     """MMDiT_Renderer.forward (mmdit.py:1511-1620): x-stream is a learned
