@@ -72,6 +72,13 @@ class EncoderConfig:
     # quantizer
     code_dim: int = 16
     codebook_size: int = 32768
+    # multi-resolution stream (QformerEncoderMultiRes, models_ours.py:355-397)
+    low_res_hidden_size: int = 64
+    low_res_code_dim: int = 16
+    low_res_codebook_size: int = 32768
+    low_res_K: int = 512
+    low_res_heads: int = 8
+    reuse_token_embeds: bool = True
 
     def __post_init__(self):
         if self.depth is None:
@@ -578,3 +585,220 @@ def encoder_from_state_dict(sd, cfg: EncoderConfig):
         p["qformer"] = {"blocks": cv.stack_blocks(qf_blocks),
                         "vision_proj": cv.t_mlp(sd, "qformer.vision_proj")}
     return p
+
+
+# ---------------------------------------------------------------------------
+# Multi-resolution variants (modules.py:330-646, models_ours.py:355-445)
+# ---------------------------------------------------------------------------
+
+def dual_attention_multires_apply(p, cfg: EncoderConfig, x, query, low_res,
+                                  mask=None, x_mask=None, low_res_mask=None):
+    """Three-stream attention (DualAttentionMultiRes, modules.py:391-545),
+    unidirectional mode: x self-attends; low-res hidden self-attends; query
+    attends to [x-KV || low-res-KV || query-KV]."""
+    B, N, C = x.shape
+    _, K, Cq = query.shape
+    _, Nl, Cl = low_res.shape
+    H, QH = cfg.num_heads, cfg.query_heads
+    LH = cfg.low_res_heads
+
+    xqkv = linear(p["qkv"], x).reshape(B, N, 3, H, C // H).transpose(2, 0, 3, 1, 4)
+    xq, xk, xv = xqkv[0], xqkv[1], xqkv[2]
+    xq = _maybe_qknorm(p, "q_norm", xq, cfg.qk_norm)
+    xk = _maybe_qknorm(p, "k_norm", xk, cfg.qk_norm)
+
+    lqkv = linear(p["low_res_linear"], low_res).reshape(
+        B, Nl, 3, LH, Cl // LH).transpose(2, 0, 3, 1, 4)
+    lq, lk, lv = lqkv[0], lqkv[1], lqkv[2]
+    lq = _maybe_qknorm(p, "low_res_qnorm", lq, cfg.qk_norm)
+    lk = _maybe_qknorm(p, "low_res_knorm", lk, cfg.qk_norm)
+
+    qqkv = linear(p["query_linear"], query).reshape(
+        B, K, 3, QH, Cq // QH).transpose(2, 0, 3, 1, 4)
+    qq, qk, qv = qqkv[0], qqkv[1], qqkv[2]
+
+    x_kv = linear(p["x_to_query_kv"], x).reshape(
+        B, N, 2, QH, Cq // QH).transpose(2, 0, 3, 1, 4)
+    l_kv = linear(p["low_res_to_query_kv"], low_res).reshape(
+        B, Nl, 2, QH, Cq // QH).transpose(2, 0, 3, 1, 4)
+
+    x_out = sdpa(xq, xk, xv, mask=x_mask)
+    l_out = sdpa(lq, lk, lv, mask=low_res_mask)
+
+    k_cat = jnp.concatenate([x_kv[0], l_kv[0], qk], axis=2)
+    v_cat = jnp.concatenate([x_kv[1], l_kv[1], qv], axis=2)
+    qq = _maybe_qknorm(p, "query_qnorm", qq, cfg.qk_norm)
+    k_cat = _maybe_qknorm(p, "query_knorm", k_cat, cfg.qk_norm)
+    q_out = sdpa(qq, k_cat, v_cat, mask=mask)
+
+    x_out = linear(p["proj"], _merge_heads(x_out))
+    l_out = linear(p["low_res_proj"], _merge_heads(l_out))
+    q_out = linear(p["query_proj"], _merge_heads(q_out))
+    return x_out, q_out, l_out
+
+
+def dual_block_multires_apply(p, cfg: EncoderConfig, x, q, low_res, mods,
+                              low_mods, mask=None):
+    """DualBlockMultiRes.forward (modules.py:604-646); the low-res stream
+    mirrors the query stream's post-attention structure."""
+    shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = mods
+    lsm, lsc, lgm, lsm2, lsc2, lgm2 = low_mods
+    s = cfg.ln_scale
+
+    x_attn, q_attn, l_attn = dual_attention_multires_apply(
+        p, cfg, layer_norm(x),
+        modulate(layer_norm(q), shift_msa, scale_msa, 0),
+        modulate(layer_norm(low_res), lsm, lsc, 0), mask=mask)
+    x = x + x_attn
+    x = x + mlp(p["mlp"], layer_norm(x))
+    q = s * q + gate(q_attn, gate_msa)
+    q = s * q + gate(mlp(p["q_mlp"], modulate(layer_norm(q), shift_mlp,
+                                              scale_mlp, 0)), gate_mlp)
+    low_res = s * low_res + gate(l_attn, lgm)
+    low_res = s * low_res + gate(
+        mlp(p["low_res_mlp"], modulate(layer_norm(low_res), lsm2, lsc2, 0)), lgm2)
+    return x, q, low_res
+
+
+def dual_block_multires_mods(p, K, K_low):
+    """Multi-res adaLN positions: plain 0..K_low-1 for the low-res stream and
+    K_low..K_low+K-1 for the query stream (modules.py:609-624 — NOT the
+    diti 1000+8k positions)."""
+    pos_q = jnp.arange(K_low, K_low + K)
+    pos_l = jnp.arange(K_low)
+    t_emb = timestep_embedder(p["t_embedder"], pos_q)
+    mods = tuple(jnp.split(linear(p["adaLN"], jax.nn.silu(t_emb)), 6, axis=1))
+    t_emb_l = timestep_embedder(p["t_embedder_low_res"], pos_l)
+    low_mods = tuple(jnp.split(
+        linear(p["adaLN_low_res"], jax.nn.silu(t_emb_l)), 6, axis=1))
+    return mods, low_mods
+
+
+def dual_block_multires_init(key, cfg: EncoderConfig, dtype=jnp.float32):
+    ks = jax.random.split(key, 8)
+    C, Cq, Cl = cfg.hidden_size, cfg.query_dim, cfg.low_res_hidden_size
+    p = {
+        "qkv": linear_init(ks[0], C, 3 * C, bias=False, dtype=dtype),
+        "query_linear": linear_init(ks[1], Cq, 3 * Cq, bias=False, dtype=dtype),
+        "low_res_linear": linear_init(ks[2], Cl, 3 * Cl, bias=False, dtype=dtype),
+        "x_to_query_kv": linear_init(ks[3], C, 2 * Cq, bias=False, dtype=dtype),
+        "low_res_to_query_kv": linear_init(ks[4], Cl, 2 * Cq, bias=False, dtype=dtype),
+        "proj": linear_init(ks[5], C, C, dtype=dtype),
+        "query_proj": linear_init(ks[6], Cq, Cq, dtype=dtype),
+        "low_res_proj": linear_init(ks[7], Cl, Cl, dtype=dtype),
+        "mlp": mlp_init(jax.random.fold_in(key, 10), C, int(C * cfg.mlp_ratio), dtype=dtype),
+        "q_mlp": mlp_init(jax.random.fold_in(key, 11), Cq, int(Cq * cfg.mlp_ratio), dtype=dtype),
+        "low_res_mlp": mlp_init(jax.random.fold_in(key, 12), Cl, int(Cl * cfg.mlp_ratio), dtype=dtype),
+    }
+    if cfg.time_adaln:
+        p["adaLN"] = {"w": jnp.zeros((cfg.query_dim, 6 * cfg.query_dim), dtype),
+                      "b": jnp.zeros((6 * cfg.query_dim,), dtype)}
+        p["t_embedder"] = timestep_embedder_init(
+            jax.random.fold_in(key, 13), cfg.query_dim, dtype=dtype)
+        p["adaLN_low_res"] = {"w": jnp.zeros((Cl, 6 * Cl), dtype),
+                              "b": jnp.zeros((6 * Cl,), dtype)}
+        p["t_embedder_low_res"] = timestep_embedder_init(
+            jax.random.fold_in(key, 14), Cl, dtype=dtype)
+    return p
+
+
+def multires_encoder_init(key, cfg: EncoderConfig, dtype=jnp.float32):
+    """QformerEncoderMultiRes (models_ours.py:355-397): multires dual blocks
+    + a token embedder for the low-res Selftok stream + 1-D sincos positions."""
+    from selftoktokenizer_tpu.ops.posembed import sincos_1d
+
+    p = encoder_init(key, dataclasses.replace(cfg, qformer_mode="dual"), dtype)
+    blocks = [dual_block_multires_init(k, cfg, dtype)
+              for k in jax.random.split(jax.random.fold_in(key, 21), cfg.depth)]
+    p["blocks"] = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
+    if cfg.low_res_code_dim != cfg.low_res_hidden_size:
+        p["token_embedder"] = linear_init(
+            jax.random.fold_in(key, 22), cfg.low_res_code_dim,
+            cfg.low_res_hidden_size, dtype=dtype, init="torch")
+    p["low_res_hidden_pos_embed"] = jnp.asarray(
+        sincos_1d(cfg.low_res_hidden_size,
+                  np.arange(cfg.low_res_K, dtype=np.float32)), dtype)[None]
+    return p
+
+
+def multires_encoder_outs(p, cfg: EncoderConfig, x, token_embeds):
+    """get_encoder_outs (models_ours.py:399-436): embed the low-res token
+    stream, run the 3-stream trunk, return the K query tokens."""
+    low = token_embeds
+    if "token_embedder" in p:
+        low = linear(p["token_embedder"], low)
+    low = low + p["low_res_hidden_pos_embed"].astype(low.dtype)
+    query = jnp.broadcast_to(p["query_tokens"],
+                             (x.shape[0], cfg.K, cfg.query_dim)).astype(x.dtype)
+
+    def body(carry, bp):
+        cx, cq, cl = carry
+        mods, low_mods = dual_block_multires_mods(bp, cfg.K, cfg.low_res_K) \
+            if cfg.time_adaln else ((None,) * 6, (None,) * 6)
+        cx, cq, cl = dual_block_multires_apply(bp, cfg, cx, cq, cl, mods, low_mods)
+        return (cx, cq, cl), None
+
+    (_, query, _), _ = jax.lax.scan(body, (x, query, low), p["blocks"])
+    return query
+
+
+def multires_encoder_apply(p, cfg: EncoderConfig, x, token_embeds, d=None,
+                           training=False):
+    """Full multires encoder forward with quantization (Encoder.forward
+    semantics over the multires trunk)."""
+    from selftoktokenizer_tpu.ops.norms import layer_norm as _ln
+
+    x_emb = _embed_patches(p, cfg, x)
+    outs = multires_encoder_outs(p, cfg, x_emb, token_embeds)
+    if cfg.pre_norm:
+        outs = _ln(outs, **p["final_layer_norm"])
+    outs_q, indices, loss, log_dict = vq_mod.vq_apply(p["quantizer"], outs,
+                                                      training=training)
+    if cfg.post_norm:
+        outs_q = _ln(outs_q, **p["final_layer_norm3"])
+    if d is None:
+        return outs_q, indices
+    enc_mask = get_encoder_mask(cfg, d)
+    ehs = outs_q * enc_mask[..., None].astype(outs_q.dtype)
+    return ehs, outs, outs_q, enc_mask, loss, log_dict, indices
+
+
+def multires_encoder_from_state_dict(sd, cfg: EncoderConfig):
+    """Convert a reference QformerEncoderMultiRes state dict."""
+    base = {
+        "x_embedder": cv.t_patch_embed(sd, "x_embedder"),
+        "pos_embed": cv._np(sd["pos_embed"]),
+        "final_layer_norm": cv.t_layernorm(sd, "final_layer_norm"),
+        "final_layer_norm2": cv.t_layernorm(sd, "final_layer_norm2"),
+        "final_layer_norm3": cv.t_layernorm(sd, "final_layer_norm3"),
+        "quantizer": vq_mod.vq_from_state_dict(cv.strip_prefix(sd, "quantizer.")),
+        "query_tokens": cv._np(sd["query_tokens"]),
+        "low_res_hidden_pos_embed": cv._np(sd["low_res_hidden_pos_embed"]),
+    }
+    if cv.has_prefix(sd, "token_embedder.weight"):
+        base["token_embedder"] = cv.t_linear(sd, "token_embedder")
+    blocks = []
+    for i in range(cfg.depth):
+        pre = f"blocks.{i}."
+        b = {
+            "qkv": cv.t_linear(sd, pre + "attn.qkv"),
+            "query_linear": cv.t_linear(sd, pre + "attn.query_linear"),
+            "low_res_linear": cv.t_linear(sd, pre + "attn.low_res_linear"),
+            "x_to_query_kv": cv.t_linear(sd, pre + "attn.x_to_query_kv"),
+            "low_res_to_query_kv": cv.t_linear(sd, pre + "attn.low_res_to_query_kv"),
+            "proj": cv.t_linear(sd, pre + "attn.proj"),
+            "query_proj": cv.t_linear(sd, pre + "attn.query_proj"),
+            "low_res_proj": cv.t_linear(sd, pre + "attn.low_res_proj"),
+            "mlp": cv.t_mlp(sd, pre + "mlp"),
+            "q_mlp": cv.t_mlp(sd, pre + "q_mlp"),
+            "low_res_mlp": cv.t_mlp(sd, pre + "low_res_mlp"),
+        }
+        if cfg.time_adaln:
+            b["adaLN"] = cv.t_linear(sd, pre + "adaLN_modulation.1")
+            b["t_embedder"] = cv.t_timestep_embedder(sd, pre + "t_embedder")
+            b["adaLN_low_res"] = cv.t_linear(sd, pre + "adaLN_modulation_low_res.1")
+            b["t_embedder_low_res"] = cv.t_timestep_embedder(
+                sd, pre + "t_embedder_low_res")
+        blocks.append(b)
+    base["blocks"] = cv.stack_blocks(blocks)
+    return base

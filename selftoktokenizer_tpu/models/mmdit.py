@@ -547,14 +547,27 @@ def mmdit_from_state_dict(sd, cfg: MMDiTConfig):
         p["register"] = cv._np(sd["register"])
 
     ctx_has_temb = cfg.time_adaln in ("pos_emb", "pos_t_emb")
+    has_lowres = cv.has_prefix(sd, "context_embedder_low_res.")
+    has_rec = cv.has_prefix(sd, "x_embedder_clean.")
+    if has_lowres:
+        p["context_embedder_low_res"] = cv.t_linear(sd, "context_embedder_low_res")
+    if has_rec:
+        p["x_embedder_clean"] = cv.t_patch_embed(sd, "x_embedder_clean")
     blocks = []
     for i in range(cfg.depth - 1):
         pre = f"joint_blocks.{i}."
-        blocks.append({
+        b = {
             "context_block": _dismantled_from_sd(
                 sd, pre + "context_block.", cfg, has_t_embedder=ctx_has_temb),
             "x_block": _dismantled_from_sd(sd, pre + "x_block.", cfg),
-        })
+        }
+        if has_lowres:
+            b["context_block_low_res"] = _dismantled_from_sd(
+                sd, pre + "context_block_low_res.", cfg,
+                has_t_embedder=ctx_has_temb)
+        if has_rec:
+            b["rec_block"] = _dismantled_from_sd(sd, pre + "rec_block.", cfg)
+        blocks.append(b)
     p["joint_blocks"] = cv.stack_blocks(blocks)
     pre = f"joint_blocks.{cfg.depth - 1}."
     p["last_block"] = {
@@ -562,4 +575,197 @@ def mmdit_from_state_dict(sd, cfg: MMDiTConfig):
                                              pre_only=True),
         "x_block": _dismantled_from_sd(sd, pre + "x_block.", cfg),
     }
+    if has_lowres:
+        p["last_block"]["context_block_low_res"] = _dismantled_from_sd(
+            sd, pre + "context_block_low_res.", cfg, pre_only=True)
+    if has_rec:
+        p["last_block"]["rec_block"] = _dismantled_from_sd(
+            sd, pre + "rec_block.", cfg)
     return p
+
+
+# ---------------------------------------------------------------------------
+# Multi-resolution MMDiT: low-res context stream + reconstruction KV stream
+# (block_mixing full generality, mmdit.py:508-553; forward :1005-1098)
+# ---------------------------------------------------------------------------
+
+def joint_block_apply_mr(bp, cfg: MMDiTConfig, context, x, c, c0,
+                         ctx_lowres=None, rec=None, pos_mods=None,
+                         lowres_pos_mods=None, mask=None, last=False):
+    """JointBlock with optional context_lowres (third query stream) and rec
+    (self-attending stream donating extra K/V to the joint attention)."""
+    ctx_qkv, ctx_inter = dismantled_pre_attention(
+        bp["context_block"], cfg, context, c,
+        pos_mods=None if last else pos_mods, pre_only=last)
+    x_qkv, x_inter = dismantled_pre_attention(bp["x_block"], cfg, x, c)
+    lr_qkv = lr_inter = None
+    if ctx_lowres is not None:
+        lr_qkv, lr_inter = dismantled_pre_attention(
+            bp["context_block_low_res"], cfg, ctx_lowres, c,
+            pos_mods=None if last else lowres_pos_mods, pre_only=last)
+    rec_out = kv_append = None
+    if rec is not None:
+        # rec_block: full self-attention over the rec stream at t=0 (c0),
+        # returning its own output plus (k, v) for the joint attention
+        # (DismantledBlock is_multi_res, mmdit.py:498-505)
+        r_qkv, r_inter = dismantled_pre_attention(bp["rec_block"], cfg, rec, c0)
+        r_attn = sdpa(*r_qkv)
+        b, h, L, d = r_attn.shape
+        rec_out = dismantled_post_attention(
+            bp["rec_block"], r_attn.transpose(0, 2, 1, 3).reshape(b, L, h * d),
+            r_inter)
+        kv_append = (r_qkv[1], r_qkv[2])
+
+    qs = [ctx_qkv[0], x_qkv[0]]
+    ks = [ctx_qkv[1], x_qkv[1]]
+    vs = [ctx_qkv[2], x_qkv[2]]
+    if lr_qkv is not None:
+        qs.append(lr_qkv[0]); ks.append(lr_qkv[1]); vs.append(lr_qkv[2])
+    if kv_append is not None:
+        ks.append(kv_append[0]); vs.append(kv_append[1])
+    q = jnp.concatenate(qs, axis=2)
+    k = jnp.concatenate(ks, axis=2)
+    v = jnp.concatenate(vs, axis=2)
+    attn = sdpa(q, k, v, mask=mask)
+    b, h, L, d = attn.shape
+    attn = attn.transpose(0, 2, 1, 3).reshape(b, L, h * d)
+
+    Lc, Lx = context.shape[1], x.shape[1]
+    ctx_attn = attn[:, :Lc]
+    x_attn = attn[:, Lc:Lc + Lx]
+    new_ctx = None if last else dismantled_post_attention(
+        bp["context_block"], ctx_attn, ctx_inter)
+    new_x = dismantled_post_attention(bp["x_block"], x_attn, x_inter)
+    new_lr = None
+    if ctx_lowres is not None and not last:
+        lr_attn = attn[:, Lc + Lx:Lc + Lx + ctx_lowres.shape[1]]
+        new_lr = dismantled_post_attention(bp["context_block_low_res"],
+                                           lr_attn, lr_inter)
+    return new_ctx, new_x, new_lr, rec_out
+
+
+def mmdit_multires_init(key, cfg: MMDiTConfig, dtype=jnp.float32):
+    """MMDiT with low_res + low_res_context streams (mmdit.py:732-765)."""
+    p = mmdit_init(key, cfg, dtype)
+    ks = jax.random.split(jax.random.fold_in(key, 31), 4)
+    p["x_embedder_clean"] = patch_embed_init(
+        ks[0], cfg.patch_size, cfg.in_channels, cfg.hidden_size, dtype)
+    p["context_embedder_low_res"] = linear_init(
+        ks[1], cfg.encoder_hidden_size, cfg.context_dim, dtype=dtype,
+        init="torch")
+    ctx_lr = [context_block_init(k, cfg, dtype=dtype)
+              for k in jax.random.split(ks[2], cfg.depth - 1)]
+    rec = [dismantled_init(k, cfg, dtype=dtype)
+           for k in jax.random.split(ks[3], cfg.depth - 1)]
+    jb = p["joint_blocks"]
+    jb = dict(jb)
+    jb["context_block_low_res"] = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *ctx_lr)
+    jb["rec_block"] = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *rec)
+    p["joint_blocks"] = jb
+    lk = jax.random.split(jax.random.fold_in(key, 32), 2)
+    p["last_block"] = dict(p["last_block"])
+    p["last_block"]["context_block_low_res"] = dismantled_init(
+        lk[0], cfg, pre_only=True, dtype=dtype)
+    p["last_block"]["rec_block"] = dismantled_init(lk[1], cfg, dtype=dtype)
+    return p
+
+
+def build_multires_mask(token_mask, n_x, cmask, rec_mask, context_see_xt,
+                        context_see_rec):
+    """Full [B,1,Lq,Lk] mask with rows (ctx | x | lowres) and columns
+    (tokens | x | lowres | rec) — mmdit.py:1060-1094."""
+    B, K = token_mask.shape
+    Kl = cmask.shape[1]
+    Nr = rec_mask.shape[1] if rec_mask is not None else 0
+    ones_x = jnp.ones((B, n_x), bool)
+    tok = token_mask.astype(bool)
+    ctx_cols = [tok, ones_x if context_see_xt else jnp.zeros((B, n_x), bool),
+                cmask.astype(bool)]
+    img_cols = [tok, ones_x, cmask.astype(bool)]
+    if rec_mask is not None:
+        rm = rec_mask.astype(bool)
+        ctx_cols.append(rm if context_see_rec else jnp.zeros_like(rm))
+        img_cols.append(rm)
+    ctx_cols = jnp.concatenate(ctx_cols, axis=1)
+    img_cols = jnp.concatenate(img_cols, axis=1)
+    Lk = ctx_cols.shape[1]
+    rows = jnp.concatenate([
+        jnp.broadcast_to(ctx_cols[:, None, :], (B, K, Lk)),
+        jnp.broadcast_to(img_cols[:, None, :], (B, n_x, Lk)),
+        jnp.broadcast_to(ctx_cols[:, None, :], (B, Kl, Lk)),
+    ], axis=1)
+    return rows[:, None]
+
+
+def mmdit_multires_apply(params, cfg: MMDiTConfig, x, t,
+                         encoder_hidden_states, hidden_states_low_res,
+                         low_res_latent, mask=None,
+                         context_lowres_mask=None, context_see_xt=False,
+                         context_see_rec=False, y=None):
+    """MMDiT.forward with the low-res context + rec streams active
+    (mmdit.py:992-1101 with low_res / low_res_context set)."""
+    B, h, w, _ = x.shape
+    gh, gw = h // cfg.patch_size, w // cfg.patch_size
+    t1000 = t * 1000.0
+    xt = patch_embed(params["x_embedder"], x, cfg.patch_size)
+    xt = xt + crop_pos_embed(params["pos_embed"], cfg.pos_embed_max_size,
+                             gh, gw).astype(xt.dtype)
+    lh, lw = low_res_latent.shape[1] // cfg.patch_size, \
+        low_res_latent.shape[2] // cfg.patch_size
+    rec = patch_embed(params["x_embedder_clean"], low_res_latent,
+                      cfg.patch_size)
+    rec = rec + crop_pos_embed(params["pos_embed"], cfg.pos_embed_max_size,
+                               lh, lw).astype(rec.dtype)
+    rec_mask = jnp.ones((B, rec.shape[1]), bool)
+
+    c = timestep_embedder(params["t_embedder"], t1000).astype(xt.dtype)
+    c0 = timestep_embedder(params["t_embedder"],
+                           jnp.zeros_like(t1000)).astype(xt.dtype)
+    context = linear(params["context_embedder"], encoder_hidden_states)
+    context = (context + params["context_pos_embed"]).astype(xt.dtype)
+    ctx_lowres = linear(params["context_embedder_low_res"],
+                        hidden_states_low_res)
+    ctx_lowres = (ctx_lowres + params["context_pos_embed"][:, :ctx_lowres.shape[1]]
+                  ).astype(xt.dtype)
+    if y is not None:
+        c = c + y
+    if mask is None:
+        mask = jnp.ones((B, cfg.K), bool)
+    cmask = context_lowres_mask if context_lowres_mask is not None else \
+        jnp.ones((B, ctx_lowres.shape[1]), bool)
+    full = build_multires_mask(mask, xt.shape[1], cmask, rec_mask,
+                               context_see_xt, context_see_rec)
+
+    ctx_mods = precompute_context_mods(params, cfg)
+    lowres_mods = None
+    if cfg.time_adaln == "pos_emb":
+        base = (1000 + 8 * np.arange(cfg.K) if cfg.diti_positions
+                else np.arange(cfg.K))
+        positions = jnp.asarray(base[:ctx_lowres.shape[1]], jnp.float32)
+
+        def one(bp):
+            t_emb = timestep_embedder(bp["t_embedder"], positions)
+            return linear(bp["adaLN"], jax.nn.silu(t_emb))
+
+        lowres_mods = jax.vmap(
+            lambda bp: one(bp["context_block_low_res"]))(params["joint_blocks"])
+
+    def body(carry, inp):
+        ctx, cx, clr, cr = carry
+        bp, m1, m2 = inp
+        ctx, cx, clr, cr = joint_block_apply_mr(
+            bp, cfg, ctx, cx, c, c0, ctx_lowres=clr, rec=cr, pos_mods=m1,
+            lowres_pos_mods=m2, mask=full)
+        return (ctx, cx, clr, cr), None
+
+    zeros = jnp.zeros((cfg.depth - 1, 1)) if ctx_mods is None else ctx_mods
+    lzeros = jnp.zeros((cfg.depth - 1, 1)) if lowres_mods is None else lowres_mods
+    (context, xt, ctx_lowres, rec), _ = jax.lax.scan(
+        body, (context, xt, ctx_lowres, rec),
+        (params["joint_blocks"], zeros, lzeros))
+    _, xt, _, _ = joint_block_apply_mr(
+        params["last_block"], cfg, context, xt, c, c0, ctx_lowres=ctx_lowres,
+        rec=rec, mask=full, last=True)
+    out = final_layer_apply(params["final_layer"], xt, c)
+    return unpatchify(out, cfg.patch_size, cfg.out_ch, gh, gw)

@@ -206,3 +206,91 @@ def renderer_loss(params, cfg: TokenizerConfig, x, rng=None):
         params["encoder"], cfg.encoder, x, d=d)
     pred_x0 = renderer_apply(params["model"], cfg.decoder, ehs, mask=mask)
     return ids, ori_hidden, pred_x0
+
+
+# ---------------------------------------------------------------------------
+# MultiImageTokenizer (multires_image_tokenizer.py:43-216)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class MultiTokenizerConfig:
+    """Multi-resolution tokenizer: a dict of per-resolution encoders feeding
+    one decoder with interleaved token streams.
+
+    The reference implementation is bit-rotted (it unpacks a 5-tuple from an
+    encoder that returns 7, indexes tensor shapes as dict entries, and calls
+    randn_like on a dict — multires_image_tokenizer.py:143-190, SURVEY §2.8);
+    this implements the intended loss graph without replicating the defects.
+    """
+    encoders: dict                     # res-name -> EncoderConfig
+    decoder: MMDiTConfig
+    k: int
+    stages: Optional[str]
+    k_per_stage: Optional[str]
+    image_size: int
+    train_encoder_res: str
+    diffusion: dict
+    quantizer: dict
+
+    def make_diti(self):
+        return make_diti(self.k, self.stages, self.k_per_stage, None, None)
+
+
+def multi_tokenizer_init(key, cfg: MultiTokenizerConfig, dtype=jnp.float32):
+    keys = jax.random.split(key, len(cfg.encoders) + 1)
+    params = {"model": mmdit_init(keys[-1], cfg.decoder, dtype),
+              "encoder": {}}
+    for k_enc, res in zip(keys, cfg.encoders):
+        params["encoder"][res] = encoder_init(k_enc, cfg.encoders[res], dtype)
+    return params
+
+
+def multi_tokenizer_loss(params, cfg: MultiTokenizerConfig, batch, rng,
+                         vq_states=None, full_tokens=False):
+    """batch: dict res-name -> NHWC latents (plus the primary resolution
+    under cfg.train_encoder_res used as the diffusion target).
+
+    Per-res encoders produce K tokens each; streams are interleaved
+    token-major (stack dim=2 then flatten — multires_image_tokenizer.py:180)
+    into a K*R context for the decoder.
+    """
+    x = batch[cfg.train_encoder_res]
+    B = x.shape[0]
+    diti = cfg.make_diti()
+    r_t, r_noise = jax.random.split(rng)
+    t = jax.random.uniform(r_t, (B,))
+    shift = resolution_shift(x.shape[1], x.shape[2])
+    if full_tokens:
+        k_batch = diti.to_indices(jnp.ones_like(t) * 1000.0)
+    else:
+        k_batch = diti.to_indices(t * 1000.0)
+    t = flow_mod.shift_t(t, shift)
+
+    ehs_list, mask_list = [], []
+    quan_loss = 0.0
+    log_dict = {}
+    new_states = {}
+    for res, ecfg in cfg.encoders.items():
+        out = encoder_apply(params["encoder"][res], ecfg, batch[res],
+                            d=k_batch)
+        ehs_list.append(out[0])
+        mask_list.append(out[3])
+        quan_loss = quan_loss + out[4]
+        log_dict[f"vq_{res}"] = out[5]
+        new_states[res] = vq_states.get(res) if vq_states else None
+    ehs = jnp.stack(ehs_list, axis=2).reshape(B, -1, ehs_list[0].shape[-1])
+    mask = jnp.stack(mask_list, axis=2).reshape(B, -1)
+
+    noise = jax.random.normal(r_noise, x.shape, x.dtype)
+
+    def model_fn(x_t, tt):
+        return mmdit_apply(params["model"], cfg.decoder, x_t, tt, ehs,
+                           mask=mask, context_see_xt=True)
+
+    terms = flow_mod.training_losses(
+        model_fn, x, t, noise,
+        parameterization=cfg.diffusion.get("parameterization", "velocity"))
+    loss = jnp.mean(terms["loss"]) + quan_loss
+    log_dict["loss"] = loss
+    log_dict["mse"] = jnp.mean(terms["mse"])
+    return loss, {"log_dict": log_dict, "vq_states": new_states}
