@@ -155,3 +155,49 @@ def test_vq_roundtrip_matches_reference():
     got = np.asarray(vq_mod.get_output_from_indices(
         params["quantizer"], jnp.asarray(ids)))
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["concat", "qformer"])
+def test_alternative_interaction_modes(mode):
+    """ConcatBlock (modules.py:649-688) and QFormer cross-attention
+    (modules.py:769-794) interaction modes."""
+    ref = get_ref()
+    torch.manual_seed(3)
+    diti = ref.diti_utils.DiTi_cont(1000, K, "500,1000", "5,3")
+    quantizer_config = dict(
+        codebook_size=CODEBOOK, code_dim=CODE_DIM, w_diversity=1.0,
+        ema_entropy_ratio=0.8, w_commit=1.0, decay=0.99,
+        dead_code_threshold=0.2, reset_cluster_size=0.2,
+        smart_re_K=K, continuous=False, reg=[0.1, 0.3], K=K)
+    # concat mode requires hidden == query_dim (joint self-attention)
+    hidden = 64 if mode == "concat" else 32
+    enc = ref.models_ours.QformerEncoder(
+        K=K, input_size=LATENT, encoder_hidden_size=ENC_HIDDEN, patch_size=2,
+        in_channels=16, hidden_size=hidden, depth=2, num_heads=4,
+        pre_norm=False, post_norm=True, qformer_mode=mode,
+        pos_embed_max_size=2 * LATENT, quantizer_config=quantizer_config,
+        time_adaln=(mode == "concat"), diti=diti,
+        query_dim=64, query_heads=8, bidirectional=False)
+    enc.eval()
+    with torch.no_grad():
+        emb = torch.randn(1, CODEBOOK, CODE_DIM)
+        emb = emb / emb.norm(dim=-1, keepdim=True)
+        enc.quantizer._codebook.embed.copy_(emb)
+        enc.quantizer._codebook.initted.copy_(torch.tensor([1.0]))
+
+    cfg = EncoderConfig(
+        K=K, input_size=LATENT, encoder_hidden_size=ENC_HIDDEN, patch_size=2,
+        in_channels=16, hidden_size=hidden, depth=2, num_heads=4,
+        pre_norm=False, post_norm=True, qformer_mode=mode,
+        pos_embed_max_size=2 * LATENT, query_dim=64, query_heads=8,
+        time_adaln=(mode == "concat"),
+        code_dim=CODE_DIM, codebook_size=CODEBOOK)
+
+    x = np.random.default_rng(5).standard_normal((2, 16, LATENT, LATENT)).astype(np.float32)
+    with torch.no_grad():
+        want_q, want_ids = enc(torch.from_numpy(x), d=None)
+    params = encoder_from_state_dict(_np_sd(enc), cfg)
+    got_q, got_ids = encoder_apply(params, cfg, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_array_equal(np.asarray(got_ids), want_ids.numpy())
+    np.testing.assert_allclose(np.asarray(got_q), want_q.numpy(),
+                               rtol=2e-4, atol=2e-5)
