@@ -62,11 +62,15 @@ class SelftokPipeline:
 
     def __init__(self, cfg, ckpt_path=None, vae_path=None, datasize=256,
                  steps=50, start=1.0, cfg_scale=1.0, ema_decoder=False,
-                 decode_dtype=jnp.float32, seed=0, cond_vary=True):
+                 decode_dtype=jnp.float32, seed=0, cond_vary=True,
+                 encode_precision="highest"):
         self.cfg = cfg
         self.datasize = datasize
         self.cfg_scale = cfg_scale
         self.decode_dtype = decode_dtype
+        # 'highest' = true fp32 trunk (reference-faithful token ids; 6-pass
+        # bf16 on MXU); 'high' trades ~1.5x encode speed for 3-pass precision
+        self.encode_precision = encode_precision
 
         params_src = dict(cfg.tokenizer.params)
         self.tcfg: TokenizerConfig = tokenizer_config_from_params(params_src)
@@ -76,11 +80,22 @@ class SelftokPipeline:
 
         key = jax.random.PRNGKey(seed)
         if ckpt_path is not None:
-            sd = load_torch_checkpoint(ckpt_path)
-            if ema_decoder and any(k.startswith("ema_state_dict") for k in sd):
-                # EMA weights stored under 'ema_state_dict' (SelftokPipeline.py:193)
-                sd = cv.strip_prefix(sd, "ema_state_dict.")
-            self.params = tokenizer_from_state_dict(sd, self.tcfg)
+            import os
+
+            if os.path.isdir(ckpt_path):
+                # Orbax checkpoint (as written by tools/convert_ckpt.py)
+                from selftoktokenizer_tpu.core.checkpoint import restore_checkpoint
+
+                like = jax.eval_shape(lambda: tokenizer_init(key, self.tcfg))
+                like = jax.tree_util.tree_map(
+                    lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype), like)
+                self.params = restore_checkpoint(ckpt_path, like=like)
+            else:
+                sd = load_torch_checkpoint(ckpt_path)
+                if ema_decoder and any(k.startswith("ema_state_dict") for k in sd):
+                    # EMA weights under 'ema_state_dict' (SelftokPipeline.py:193)
+                    sd = cv.strip_prefix(sd, "ema_state_dict.")
+                self.params = tokenizer_from_state_dict(sd, self.tcfg)
         else:
             self.params = tokenizer_init(key, self.tcfg,
                                          model_dtype=decode_dtype)
@@ -162,7 +177,10 @@ class SelftokPipeline:
         x0 = vae_encode_mode(vae_params, self.vae_cfg,
                              images.astype(jnp.bfloat16))
         x0 = SD3LatentFormat.process_in(x0).astype(jnp.float32)
-        _, ids = encoder_apply(enc_params, self.tcfg.encoder, x0)
+        # token-id conformance requires true fp32 matmuls: on TPU the default
+        # precision runs fp32 contractions as single-pass bf16
+        with jax.default_matmul_precision(self.encode_precision):
+            _, ids = encoder_apply(enc_params, self.tcfg.encoder, x0)
         return ids
 
     def _tokens_to_context(self, enc_params, ids):
