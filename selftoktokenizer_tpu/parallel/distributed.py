@@ -1,0 +1,58 @@
+"""Multi-host initialization and cross-host helpers.
+
+The reference's distributed backend is torch.distributed NCCL/HCCL with a
+launcher owning the process group (SURVEY §2.5). TPU-natively:
+
+* `init()` wires jax.distributed (one process per host; the JAX runtime
+  discovers TPU topology itself — coordinator address only needed off-TPU),
+* a single Mesh then spans all hosts; collectives ride ICI within a slice
+  and DCN across slices, inserted by XLA — there is no NCCL analog to manage,
+* `global_batch()` forms a jax.Array for a per-host shard pytree.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+
+
+def init(coordinator_address: Optional[str] = None,
+         num_processes: Optional[int] = None,
+         process_id: Optional[int] = None):
+    """Initialize the multi-host runtime (idempotent single-host no-op).
+
+    On TPU pods the three arguments are auto-detected from the environment;
+    pass them explicitly for CPU/GPU multi-process simulation."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    if coordinator_address is None and num_processes in (None, 1):
+        return  # single process — nothing to do
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def global_batch(mesh, per_host_batch):
+    """Assemble a globally-sharded jax.Array from this host's shard.
+
+    per_host_batch: pytree of np/jnp arrays with leading axis =
+    global_batch / process_count. Uses make_array_from_process_local_data so
+    no host gathers the full batch."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P("data"))
+
+    def one(x):
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+    return jax.tree_util.tree_map(one, per_host_batch)
+
+
+def process_slice(n_items, process_index=None, process_count=None):
+    """Evenly split a dataset across hosts; returns (start, stop)."""
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    per = n_items // pc
+    return pi * per, (pi + 1) * per if pi < pc - 1 else n_items

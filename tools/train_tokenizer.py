@@ -1,0 +1,145 @@
+"""Training driver for the ImageTokenizer loss graph — the trainer the
+reference's configs describe but never shipped ("training code under
+preparation", README.md:245-247; optimizer/schedule knobs in
+256-eval.yml:31-46).
+
+    python tools/train_tokenizer.py --yml-path cfg.yml --data-dir imgs/ \
+        [--vae-path sd3.pt] [--steps 1000] [--batch-size 32] [--synthetic]
+
+Flow per step: images -> (native loader) -> VAE encode (bf16) -> latents ->
+jit train_step (flow loss + VQ EMA + optimizer) over the Mesh, batch sharded
+on `data`. Checkpoints via Orbax every --ckpt-interval steps.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--yml-path", default="/root/reference/configs/res256/256-eval.yml")
+    p.add_argument("--data-dir", default=None)
+    p.add_argument("--vae-path", default=None)
+    p.add_argument("--pretrained", default=None)
+    p.add_argument("--data_size", type=int, default=256)
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--dit-lr", type=float, default=1e-5)
+    p.add_argument("--token-lr", type=float, default=5e-5)
+    p.add_argument("--grad-norm", type=float, default=0.0)
+    p.add_argument("--ema-decay", type=float, default=0.0)
+    p.add_argument("--warmup", type=int, default=0)
+    p.add_argument("--log-interval", type=int, default=10)
+    p.add_argument("--ckpt-interval", type=int, default=1000)
+    p.add_argument("--ckpt-dir", default="/tmp/selftok_ckpt")
+    p.add_argument("--synthetic", action="store_true",
+                   help="random latents instead of images (perf/dev runs)")
+    p.add_argument("--mesh-fsdp", type=int, default=1)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from selftoktokenizer_tpu.core.config import load_config
+    from selftoktokenizer_tpu.core.checkpoint import save_checkpoint
+    from selftoktokenizer_tpu.models.tokenizer import (
+        tokenizer_config_from_params, tokenizer_init)
+    from selftoktokenizer_tpu.models.vae import (
+        SD3LatentFormat, VAEConfig, vae_encode_mode, vae_from_state_dict,
+        vae_init)
+    from selftoktokenizer_tpu.pipeline.pipeline import load_torch_checkpoint
+    from selftoktokenizer_tpu.train.trainer import (
+        TrainConfig, make_train_state, train_step)
+    from selftoktokenizer_tpu.parallel.mesh import make_mesh, batch_sharding
+    from selftoktokenizer_tpu.utils.logging import AverageMeter, hf_logger
+
+    cfg = load_config(args.yml_path)
+    tcfg = tokenizer_config_from_params(dict(cfg.tokenizer.params))
+    key = jax.random.PRNGKey(cfg.common.get("random_seed", 123))
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(data=n_dev // args.mesh_fsdp, fsdp=args.mesh_fsdp)
+    hf_logger.info(f"mesh: {dict(mesh.shape)}")
+
+    params = tokenizer_init(key, tcfg)
+    tc = TrainConfig(dit_lr=args.dit_lr, token_lr=args.token_lr,
+                     warmup_steps=args.warmup, grad_norm=args.grad_norm,
+                     ema_decay=args.ema_decay)
+    state, opt = make_train_state(params, tcfg, tc)
+
+    vae_cfg = VAEConfig()
+    if args.vae_path:
+        vsd = load_torch_checkpoint(args.vae_path)
+        vae_params = vae_from_state_dict(vsd, vae_cfg)
+    else:
+        vae_params = vae_init(jax.random.fold_in(key, 1), vae_cfg)
+    vae_encode = jax.jit(lambda vp, im: SD3LatentFormat.process_in(
+        vae_encode_mode(vp, vae_cfg, im.astype(jnp.bfloat16))
+    ).astype(jnp.float32))
+
+    latent = args.data_size // 8
+    if args.synthetic or not args.data_dir:
+        def batches():
+            rng = np.random.default_rng(0)
+            while True:
+                yield rng.standard_normal(
+                    (args.batch_size, latent, latent, 16)).astype(np.float32)
+        batch_iter = batches()
+    else:
+        from selftoktokenizer_tpu.data.native import (
+            NativeImageLoader, native_available)
+        from selftoktokenizer_tpu.utils.io import walk_all_files
+
+        paths = walk_all_files(args.data_dir, (".jpg", ".jpeg", ".png"))
+        assert paths, f"no images in {args.data_dir}"
+
+        def batches():
+            while True:
+                if native_available():
+                    it = NativeImageLoader(paths, size=args.data_size,
+                                           batch=args.batch_size)
+                else:
+                    from selftoktokenizer_tpu.pipeline.preprocess import load_image
+                    it = (np.concatenate(
+                        [load_image(q, args.data_size)
+                         for q in paths[i:i + args.batch_size]])
+                        for i in range(0, len(paths), args.batch_size))
+                for imgs in it:
+                    if imgs.shape[0] == args.batch_size:
+                        yield np.asarray(vae_encode(vae_params,
+                                                    jnp.asarray(imgs)))
+        batch_iter = batches()
+
+    step_fn = jax.jit(lambda s, b, r: train_step(s, opt, tcfg, tc, b, r))
+    meter = AverageMeter("loss")
+    t0 = time.time()
+    with jax.set_mesh(mesh):
+        for i in range(args.steps):
+            batch = jax.device_put(jnp.asarray(next(batch_iter)),
+                                   batch_sharding(mesh))
+            state, logs = step_fn(state, batch, jax.random.fold_in(key, i))
+            meter.update(float(logs["loss"]))
+            if (i + 1) % args.log_interval == 0:
+                sps = (i + 1) / (time.time() - t0)
+                hf_logger.info(
+                    f"step {i + 1}: loss={meter.avg:.4f} "
+                    f"dm_mse={float(logs['dm_mse']):.4f} "
+                    f"perplexity={float(logs['vq_perplexity']):.1f} "
+                    f"{sps:.2f} steps/s")
+                meter.reset()
+            if args.ckpt_interval and (i + 1) % args.ckpt_interval == 0:
+                save_checkpoint(os.path.join(args.ckpt_dir, f"step_{i + 1}"),
+                                {"params": state.params,
+                                 "vq_state": state.vq_state._asdict()})
+    print(json.dumps({"final_loss": meter.avg or float(logs["loss"]),
+                      "steps": args.steps}))
+
+
+if __name__ == "__main__":
+    main()
