@@ -63,6 +63,28 @@ def main():
     except Exception as e:  # decode OOM etc. — still report encode
         decode_img_per_s = f"error: {type(e).__name__}"
 
+    # --- one-step renderer decode ------------------------------------------
+    render_img_per_s = None
+    try:
+        import copy
+
+        from selftoktokenizer_tpu.core.config import AttrDict, load_config
+
+        rcfg = load_config("/root/reference/configs/renderer/renderer-eval.yml")
+        from selftoktokenizer_tpu.pipeline import SelftokPipeline
+
+        rpipe = SelftokPipeline(rcfg, datasize=256, decode_dtype=jnp.bfloat16)
+        rids = jnp.zeros((8, 512), jnp.int32)
+        out = rpipe.decoding_with_renderer(rids)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(5):
+            out = rpipe.decoding_with_renderer(rids)
+        jax.block_until_ready(out)
+        render_img_per_s = 8 * 5 / (time.perf_counter() - t0)
+    except Exception as e:
+        render_img_per_s = f"error: {type(e).__name__}"
+
     print(json.dumps({
         "metric": "encode images/sec/chip @256px 512-token",
         "value": round(enc_img_per_s, 2),
@@ -70,6 +92,8 @@ def main():
         "vs_baseline": round(enc_img_per_s / REF_GPU_IMG_PER_S, 3),
         "decode50_images_per_s": decode_img_per_s if isinstance(
             decode_img_per_s, str) else round(decode_img_per_s, 3),
+        "renderer_images_per_s": render_img_per_s if isinstance(
+            render_img_per_s, str) else round(render_img_per_s, 3),
         "platform": platform,
         "batch": batch,
     }))

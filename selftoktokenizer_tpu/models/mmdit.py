@@ -295,6 +295,10 @@ def _trunk(params, cfg: MMDiTConfig, context, x, c, ctx_mods, mask=None,
            key_mask=None):
     """depth-1 scanned joint blocks + the final pre-only block + final layer."""
     if ctx_mods is not None:
+        # keep the scan carry dtype stable (fp32 mods would promote bf16
+        # activations and break the carry contract)
+        ctx_mods = ctx_mods.astype(context.dtype)
+    if ctx_mods is not None:
         def body(carry, inp):
             ctx, cx = carry
             bp, mods = inp
