@@ -126,7 +126,8 @@ def resolution_shift(latent_h, latent_w):
 
 
 def tokenizer_loss(params, cfg: TokenizerConfig, x, rng, vq_state=None,
-                   full_tokens=False, train_quantizer=True):
+                   full_tokens=False, train_quantizer=True,
+                   ema_encoder_params=None, L2_lr=0.0):
     """Training forward (image_tokenizer.py:203-296): sample t, map to token
     depth k, encode+quantize, flow-matching loss with CFG condition drop.
 
@@ -188,6 +189,22 @@ def tokenizer_loss(params, cfg: TokenizerConfig, x, rng, vq_state=None,
         drop_ids=drop_ids)
     batch_mse = jnp.mean(terms["loss"])
     loss = batch_mse + quan_loss
+
+    if ema_encoder_params is not None and L2_lr > 0:
+        # EMA-encoder L2 anchor (image_tokenizer.py:283-294): pull pre-VQ
+        # features toward an EMA copy of the encoder, excluding each row's
+        # last active token position. (The reference branch is dead code —
+        # to_quantizer_features_ema is hardwired None at :252-255 — and its
+        # mask indexing is per-batch-broken; this is the intended form.)
+        ema_emb = _embed_patches(ema_encoder_params, cfg.encoder, x)
+        ema_outs = jax.lax.stop_gradient(
+            get_encoder_outs(ema_encoder_params, cfg.encoder, ema_emb))
+        last_idx = jnp.sum(enc_mask, axis=1) - 1
+        l2_mask = enc_mask & (jnp.arange(cfg.k)[None, :] != last_idx[:, None])
+        m = l2_mask[..., None].astype(outs.dtype)
+        l2 = jnp.mean((outs * m - ema_outs * m) ** 2)
+        loss = loss + L2_lr * l2
+
     log_dict = {
         "loss": loss, "dm_mse": batch_mse,
         "loss_small": terms["small"], "loss_mid": terms["mid"],

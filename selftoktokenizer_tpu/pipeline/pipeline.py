@@ -191,8 +191,19 @@ class SelftokPipeline:
 
     def _decode_impl(self, params, ctx_mods, vae_params, ids, noise):
         outs_q = self._tokens_to_context(params["encoder"], ids)
+        n_tok = outs_q.shape[1]
+        super_mask = None
+        if n_tok < self.K:
+            # truncated token sequences (cut_of_k, rectified_flow.py:217-226):
+            # zero-pad the context to K and mask the padding everywhere.
+            # The reference re-pads identically inside every sampler step;
+            # once before the scan is equivalent.
+            outs_q = jnp.pad(outs_q, ((0, 0), (0, self.K - n_tok), (0, 0)))
+            super_mask = jnp.arange(self.K)[None, :] < n_tok
         k0 = self.step_k[0]
         mask0 = jnp.arange(self.K)[None, :] <= k0
+        if super_mask is not None:
+            mask0 = mask0 & super_mask
         ehs = outs_q * mask0[..., None].astype(outs_q.dtype)
 
         dd = self.decode_dtype
@@ -217,6 +228,7 @@ class SelftokPipeline:
             model_fn, self.sched, noise, ehs,
             step_k=self.step_k if self.cond_vary else None, K=self.K,
             cfg_scale=self.cfg_scale, uncond_fn=uncond_fn,
+            super_mask=super_mask,
             parameterization=self.parameterization)
         return self._latents_to_images(vae_params, pred_x0)
 

@@ -136,3 +136,12 @@ def test_preprocess_matches_torchvision_semantics():
     assert out.min() >= -1.0 and out.max() <= 1.0
     u8 = to_uint8((out + 1) / 2)
     assert u8.shape == (1, 64, 64, 3) and u8.dtype == np.uint8
+
+
+def test_pipeline_truncated_tokens(pipe):
+    """cut_of_k path: decode from fewer than K tokens (zero-padded context,
+    padding masked everywhere — rectified_flow.py:217-226)."""
+    ids = np.random.default_rng(6).integers(0, 64, (1, 5))  # 5 < K=8
+    out = pipe.decoding(ids)
+    assert out.shape == (1, 64, 64, 3)
+    assert np.isfinite(np.asarray(out)).all()

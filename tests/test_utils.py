@@ -83,3 +83,18 @@ def test_orbax_roundtrip(tmp_path):
     back = restore_checkpoint(path, like=tree)
     np.testing.assert_array_equal(np.asarray(back["a"]["w"]),
                                   np.asarray(tree["a"]["w"]))
+
+
+def test_divergence_guard_and_tree_finite():
+    from selftoktokenizer_tpu.utils.guards import DivergenceGuard, tree_finite
+
+    assert bool(tree_finite({"a": jnp.ones(3), "b": jnp.zeros(2)}))
+    assert not bool(tree_finite({"a": jnp.array([1.0, np.nan])}))
+
+    g = DivergenceGuard(patience=2, loss_ceiling=100.0)
+    assert g.check(1.0, state="s1")
+    assert g.last_good == "s1"
+    assert not g.check(float("nan"))
+    import pytest as _pytest
+    with _pytest.raises(FloatingPointError):
+        g.check(float("inf"))
