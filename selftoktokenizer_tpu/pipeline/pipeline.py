@@ -63,7 +63,7 @@ class SelftokPipeline:
     def __init__(self, cfg, ckpt_path=None, vae_path=None, datasize=256,
                  steps=50, start=1.0, cfg_scale=1.0, ema_decoder=False,
                  decode_dtype=jnp.float32, seed=0, cond_vary=True,
-                 encode_precision="highest"):
+                 encode_precision="highest", encode_only=False):
         self.cfg = cfg
         self.datasize = datasize
         self.cfg_scale = cfg_scale
@@ -96,6 +96,11 @@ class SelftokPipeline:
                     # EMA weights under 'ema_state_dict' (SelftokPipeline.py:193)
                     sd = cv.strip_prefix(sd, "ema_state_dict.")
                 self.params = tokenizer_from_state_dict(sd, self.tcfg)
+        elif encode_only:
+            # skip the 2B-param decoder entirely (tokenize-only serving)
+            from selftoktokenizer_tpu.models.encoder import encoder_init
+
+            self.params = {"encoder": encoder_init(key, self.tcfg.encoder)}
         else:
             self.params = tokenizer_init(key, self.tcfg,
                                          model_dtype=decode_dtype)
@@ -122,13 +127,13 @@ class SelftokPipeline:
         # hoist the per-position context adaLN table out of the decode loop
         # (computed in fp32 before any decode-dtype cast)
         self._ctx_mods = None
-        if self.tcfg.decoder.time_adaln == "pos_emb":
+        if "model" in self.params and self.tcfg.decoder.time_adaln == "pos_emb":
             self._ctx_mods = precompute_context_mods(
                 self.params["model"], self.tcfg.decoder)
 
         # store decoder weights in the decode dtype (bf16 halves HBM and
         # doubles MXU throughput; encoder/VQ stay fp32 for token conformance)
-        if decode_dtype != jnp.float32 and \
+        if "model" in self.params and decode_dtype != jnp.float32 and \
                 self.params["model"]["t_embedder"]["mlp0"]["w"].dtype != decode_dtype:
             self.params["model"] = jax.tree_util.tree_map(
                 lambda a: jnp.asarray(a, decode_dtype), self.params["model"])
