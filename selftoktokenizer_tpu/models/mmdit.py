@@ -388,11 +388,17 @@ def mmdit_apply(params, cfg: MMDiTConfig, x, t, encoder_hidden_states,
                              gh, gw).astype(xt.dtype)
     c = timestep_embedder(params["t_embedder"], t1000).astype(xt.dtype)
 
+    # context length may be a prefix of K (bucketed decode slices the
+    # trailing never-active tokens off; tokens are diffusion-ordered so a
+    # prefix is always the active superset)
+    Lc = encoder_hidden_states.shape[1]
     context = linear(params["context_embedder"], encoder_hidden_states)
-    context = (context + params["context_pos_embed"]).astype(xt.dtype)
+    context = (context + params["context_pos_embed"][:, :Lc]).astype(xt.dtype)
 
     if mask is None:
-        mask = jnp.ones((B, cfg.K), bool)
+        mask = jnp.ones((B, Lc), bool)
+    if ctx_mods is not None and ctx_mods.shape[1] != Lc:
+        ctx_mods = ctx_mods[:, :Lc]
     if drop_ids is not None:
         # CFG condition-drop (mmdit.py:935-963): zero context + mask for
         # dropped samples (only when t != 1000)

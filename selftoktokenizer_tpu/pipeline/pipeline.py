@@ -229,13 +229,51 @@ class SelftokPipeline:
                     mask=jnp.zeros_like(mask), ctx_mods=mods)
                 return v.astype(jnp.float32)
 
-        pred_x0 = flow_mod.p_sample_loop(
-            model_fn, self.sched, noise, ehs,
-            step_k=self.step_k if self.cond_vary else None, K=self.K,
-            cfg_scale=self.cfg_scale, uncond_fn=uncond_fn,
-            super_mask=super_mask,
-            parameterization=self.parameterization)
+        segments = self._decode_segments()
+        if segments is None or self.cfg_scale != 1.0 or not self.cond_vary \
+                or super_mask is not None:
+            pred_x0 = flow_mod.p_sample_loop(
+                model_fn, self.sched, noise, ehs,
+                step_k=self.step_k if self.cond_vary else None, K=self.K,
+                cfg_scale=self.cfg_scale, uncond_fn=uncond_fn,
+                super_mask=super_mask,
+                parameterization=self.parameterization)
+        else:
+            # Bucketed decode: tokens are diffusion-ordered and the per-step
+            # active count k_i is monotone decreasing, so later steps can run
+            # with the context statically sliced to the next 128-multiple —
+            # identical outputs (masked tokens contribute nothing and each
+            # step re-embeds the context from scratch), ~10-15% fewer FLOPs.
+            img = noise
+            for (s, e, Lc) in segments:
+                sub = {k: v[s:e] for k, v in self.sched.items()}
+                img = flow_mod.p_sample_loop(
+                    model_fn, sub, img, ehs[:, :Lc],
+                    step_k=jnp.asarray(self.step_k[s:e]), K=Lc,
+                    parameterization=self.parameterization)
+            pred_x0 = img
         return self._latents_to_images(vae_params, pred_x0)
+
+    def _decode_segments(self):
+        """Static (start, end, ctx_len) segments grouping consecutive steps
+        by the 128-multiple context bucket covering their active tokens."""
+        import numpy as np
+
+        if self.K % 128 != 0:
+            return None
+        k = np.asarray(self.step_k)
+        if np.any(np.diff(k) > 0):
+            return None  # non-monotone schedule: keep the single-scan path
+        bucket = np.minimum(((k + 1 + 127) // 128) * 128, self.K)
+        segments = []
+        s = 0
+        for i in range(1, len(k) + 1):
+            if i == len(k) or bucket[i] != bucket[s]:
+                segments.append((s, i, int(bucket[s])))
+                s = i
+        if len(segments) <= 1:
+            return None
+        return segments
 
     def _render_impl(self, params, ctx_mods, vae_params, ids):
         outs_q = self._tokens_to_context(params["encoder"], ids)

@@ -145,3 +145,26 @@ def test_pipeline_truncated_tokens(pipe):
     out = pipe.decoding(ids)
     assert out.shape == (1, 64, 64, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_bucketed_decode_exactness(tiny_cfg):
+    """Context-bucketed decode must equal the single-scan decode exactly
+    (sliced tokens are a superset of the active prefix at every step)."""
+    import copy
+
+    cfg = AttrDict(copy.deepcopy(tiny_cfg))
+    cfg.tokenizer.params.k = 256
+    cfg.tokenizer.params.k_per_stage = "96,80,40,24,16"
+    cfg.tokenizer.params.quantizer_config.K = 256
+    pipe2 = SelftokPipeline(cfg, datasize=64, steps=6)
+    segs = pipe2._decode_segments()
+    assert segs is not None and len(segs) >= 2, segs
+    assert sum(e - s for s, e, _ in segs) == 6
+
+    ids = np.random.default_rng(7).integers(0, 64, (1, 256))
+    got_bucketed = np.asarray(pipe2.decoding(ids))
+
+    pipe2._decode_segments = lambda: None
+    pipe2._decode_jit = __import__("jax").jit(pipe2._decode_impl)
+    got_plain = np.asarray(pipe2.decoding(ids))
+    np.testing.assert_allclose(got_bucketed, got_plain, rtol=1e-5, atol=1e-6)
