@@ -636,3 +636,68 @@ class LossSecondMomentResampler(LossAwareSampler):
 
     def _warmed_up(self):
         return (self._loss_counts == self.history_per_term).all()
+
+
+def _attach_loop_extras():
+    """Attach the remaining reference loop methods (kept out of the class
+    body above for readability): progressive sampling, reverse-ODE loop,
+    full-chain bits-per-dim (gaussian_diffusion.py:529-618, 707-793,
+    1018-1072)."""
+
+    def p_sample_loop_progressive(self, model, shape, rng, noise=None,
+                                  clip_denoised=True, denoised_fn=None,
+                                  cond_fn=None, model_kwargs=None):
+        """Yields per-step {'sample','pred_xstart'} dicts (host loop; use
+        p_sample_loop for the fused scan)."""
+        rng, nrng = jax.random.split(rng)
+        img = noise if noise is not None else jax.random.normal(nrng, shape)
+        for ti in range(self.num_timesteps - 1, -1, -1):
+            rng, sub = jax.random.split(rng)
+            t = jnp.full((shape[0],), ti, jnp.int32)
+            out = self.p_sample(model, img, t, sub, clip_denoised, denoised_fn,
+                                cond_fn, model_kwargs)
+            yield out
+            img = out["sample"]
+
+    def ddim_reverse_sample_loop(self, model, x, clip_denoised=True,
+                                 denoised_fn=None, model_kwargs=None):
+        """Encode data to latents with the reverse ODE (lax.scan over
+        t = 0..T-1)."""
+        B = x.shape[0]
+
+        def body(im, ti):
+            t = jnp.full((B,), ti, jnp.int32)
+            out = self.ddim_reverse_sample(model, im, t, clip_denoised,
+                                           denoised_fn, model_kwargs)
+            return out["sample"], None
+
+        img, _ = jax.lax.scan(body, x, jnp.arange(self.num_timesteps))
+        return img
+
+    def calc_bpd_loop(self, model, x_start, rng, clip_denoised=True,
+                      model_kwargs=None):
+        """Full-chain VLB evaluation: per-timestep vb terms + xstart MSE +
+        prior bpd (gaussian_diffusion.py:1018-1072)."""
+        B = x_start.shape[0]
+        vb, mse = [], []
+        for ti in range(self.num_timesteps - 1, -1, -1):
+            rng, sub = jax.random.split(rng)
+            t = jnp.full((B,), ti, jnp.int32)
+            noise = jax.random.normal(sub, x_start.shape, x_start.dtype)
+            x_t = self.q_sample(x_start, t, noise)
+            out = self._vb_terms_bpd(model, x_start, x_t, t, clip_denoised,
+                                     model_kwargs)
+            vb.append(out["output"])
+            mse.append(mean_flat((out["pred_xstart"] - x_start) ** 2))
+        vb = jnp.stack(vb, axis=1)
+        mse = jnp.stack(mse, axis=1)
+        prior = self._prior_bpd(x_start)
+        total = jnp.sum(vb, axis=1) + prior
+        return {"total_bpd": total, "prior_bpd": prior, "vb": vb, "mse": mse}
+
+    GaussianDiffusion.p_sample_loop_progressive = p_sample_loop_progressive
+    GaussianDiffusion.ddim_reverse_sample_loop = ddim_reverse_sample_loop
+    GaussianDiffusion.calc_bpd_loop = calc_bpd_loop
+
+
+_attach_loop_extras()

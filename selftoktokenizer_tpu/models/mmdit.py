@@ -106,11 +106,14 @@ def _qkv_split(p, cfg: MMDiTConfig, x):
 
 
 def dismantled_pre_attention(p, cfg: MMDiTConfig, x, c, pos_mods=None,
-                             pre_only=False):
+                             pre_only=False, pos_t_emb=False):
     """pre_attention (mmdit.py:441-483).
 
     pos_mods: precomputed [K, 6*hidden] context modulations when the block
     runs in 'pos_emb' mode (else None -> 't_emb' mode driven by c).
+    pos_t_emb: 'pos_t_emb' mode (mmdit.py:452-455) — per-position embeddings
+    ADDED to the per-sample conditioning before adaLN, yielding [B, K, 6D]
+    modulations (pos_mods then carries t_embedder(positions) [K, hidden]).
     Returns (q, k, v), intermediates.
     """
     if pre_only:
@@ -118,6 +121,14 @@ def dismantled_pre_attention(p, cfg: MMDiTConfig, x, c, pos_mods=None,
         shift_msa, scale_msa = jnp.split(mods, 2, axis=-1)
         qkv = _qkv_split(p, cfg, modulate(layer_norm(x), shift_msa, scale_msa, 1))
         return qkv, None
+    if pos_t_emb:
+        K = x.shape[1]
+        c_pos = pos_mods[:K]  # [K, hidden] t_embedder output
+        mods = linear(p["adaLN"], jax.nn.silu(c[:, None, :] + c_pos[None]))
+        shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = \
+            jnp.split(mods, 6, axis=-1)          # each [B, K, hidden]
+        qkv = _qkv_split(p, cfg, modulate(layer_norm(x), shift_msa, scale_msa, 0))
+        return qkv, (x, gate_msa, shift_mlp, scale_mlp, gate_mlp, None)
     if pos_mods is not None:
         shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = \
             jnp.split(pos_mods, 6, axis=-1)
@@ -135,10 +146,15 @@ def dismantled_pre_attention(p, cfg: MMDiTConfig, x, c, pos_mods=None,
 def dismantled_post_attention(p, attn_out, inter):
     """post_attention (mmdit.py:485-496). attn_out: [B, L, C]."""
     x, gate_msa, shift_mlp, scale_mlp, gate_mlp, axis = inter
-    g = lambda t: jnp.expand_dims(t, axis)
+    if axis is None:  # pos_t_emb: mods already [B, L, C] (mmdit.py:487-489)
+        g = lambda t: t
+        maxis = 0
+    else:
+        g = lambda t: jnp.expand_dims(t, axis)
+        maxis = axis
     x = x + g(gate_msa) * linear(p["proj"], attn_out)
     x = x + g(gate_mlp) * mlp(p["mlp"], modulate(layer_norm(x), shift_mlp,
-                                                 scale_mlp, axis))
+                                                 scale_mlp, maxis))
     return x
 
 
@@ -179,7 +195,8 @@ def joint_block_apply(bp, cfg: MMDiTConfig, context, x, c, pos_mods=None,
     ctx_pre_only = last
     ctx_qkv, ctx_inter = dismantled_pre_attention(
         bp["context_block"], cfg, context, c,
-        pos_mods=None if last else pos_mods, pre_only=ctx_pre_only)
+        pos_mods=None if last else pos_mods, pre_only=ctx_pre_only,
+        pos_t_emb=(cfg.time_adaln == "pos_t_emb" and not last))
     x_qkv, x_inter = dismantled_pre_attention(bp["x_block"], cfg, x, c)
 
     q = jnp.concatenate([ctx_qkv[0], x_qkv[0]], axis=2)
@@ -206,16 +223,26 @@ def joint_block_apply(bp, cfg: MMDiTConfig, context, x, c, pos_mods=None,
 
 
 def precompute_context_mods(params, cfg: MMDiTConfig):
-    """[depth-1, K, 6*hidden] context adaLN table — pure function of params.
+    """Context adaLN table — pure function of params.
 
-    The reference evaluates t_embedder+adaLN inside every context block every
-    forward (mmdit.py:446-458); precomputing once per weight-load removes
-    that from the 50-step decode loop entirely.
+    'pos_emb':   [depth-1, K, 6*hidden] full modulations (the reference
+                 evaluates t_embedder+adaLN inside every context block of
+                 every forward, mmdit.py:446-458; hoisting removes that from
+                 the 50-step decode loop entirely).
+    'pos_t_emb': [depth-1, K, hidden] t_embedder(positions) only — the adaLN
+                 still depends on the per-sample conditioning at runtime.
     """
-    if cfg.time_adaln != "pos_emb":
+    if cfg.time_adaln not in ("pos_emb", "pos_t_emb"):
         return None
     base = 1000 + 8 * np.arange(cfg.K) if cfg.diti_positions else np.arange(cfg.K)
     positions = jnp.asarray(base, jnp.float32)
+
+    if cfg.time_adaln == "pos_t_emb":
+        def one_t(bp):
+            return timestep_embedder(bp["t_embedder"], positions)
+
+        return jax.vmap(lambda bp: one_t(bp["context_block"]))(
+            params["joint_blocks"])
 
     def one(bp):
         t_emb = timestep_embedder(bp["t_embedder"], positions)

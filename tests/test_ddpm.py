@@ -190,3 +190,22 @@ def test_samplers():
     w = ls.weights()
     assert w.shape == (T,) and np.all(w > 0)
     assert ls._warmed_up()
+
+
+def test_bpd_and_reverse_loops():
+    j = jax_diffusion("ddim5")
+    net = _FakeNet(2)
+    x0 = jnp.asarray(np.random.default_rng(5).standard_normal((2, 4, 4, 2)),
+                     jnp.float32)
+    out = j.calc_bpd_loop(lambda x, t, **k: net.jax(x, t), x0,
+                          jax.random.PRNGKey(0))
+    assert out["total_bpd"].shape == (2,)
+    assert np.isfinite(np.asarray(out["total_bpd"])).all()
+    assert out["vb"].shape == (2, j.num_timesteps)
+
+    lat = j.ddim_reverse_sample_loop(lambda x, t, **k: net.jax(x, t), x0)
+    assert lat.shape == x0.shape and np.isfinite(np.asarray(lat)).all()
+
+    outs = list(j.p_sample_loop_progressive(
+        lambda x, t, **k: net.jax(x, t), (2, 4, 4, 2), jax.random.PRNGKey(1)))
+    assert len(outs) == j.num_timesteps

@@ -169,3 +169,23 @@ def test_precomputed_mods_consistency():
     a = mmdit_apply(params, cfg, x, t, ehs, context_see_xt=True)
     b = mmdit_apply(params, cfg, x, t, ehs, context_see_xt=True, ctx_mods=mods)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+
+
+def test_mmdit_pos_t_emb_mode():
+    """time_adaln='pos_t_emb' (mmdit.py:452-455,487-489): per-position
+    embeddings added to the per-sample conditioning before adaLN."""
+    m = build_ref_mmdit(time_adaln="pos_t_emb", seed=6)
+    cfg = jax_cfg(time_adaln="pos_t_emb")
+    params = mmdit_from_state_dict(_np_sd(m), cfg)
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((2, 16, LATENT, LATENT)).astype(np.float32)
+    ehs = rng.standard_normal((2, K, ENC_HIDDEN)).astype(np.float32)
+    t = np.array([0.55, 0.25], dtype=np.float32)
+    with torch.no_grad():
+        want, _ = m(torch.from_numpy(x), torch.from_numpy(t),
+                    encoder_hidden_states=torch.from_numpy(ehs),
+                    context_see_xt=True)
+    got = mmdit_apply(params, cfg, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                      jnp.asarray(t), jnp.asarray(ehs), context_see_xt=True)
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want.numpy(), rtol=2e-3, atol=2e-4)
