@@ -39,8 +39,11 @@ def _kernel(z_ref, e_ref, ids_ref, best_ref, arg_ref):
 
     z = z_ref[:]                                   # [BLOCK_N, D]
     e = e_ref[:]                                   # [BLOCK_C, D]
+    # HIGHEST precision: token ids are conformance-critical; default MXU
+    # fp32 is single-pass bf16 and flips ~1% of argmaxes vs exact fp32
     s = jax.lax.dot_general(z, e, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # [N, C_blk]
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)  # [N, C_blk]
     m = jnp.max(s, axis=-1, keepdims=True)         # [BLOCK_N, 1]
     # first-occurrence argmax within the chunk
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
