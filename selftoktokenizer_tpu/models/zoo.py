@@ -50,6 +50,9 @@ ENC_MODELS = {
     "Enc-Qformer-Uni-WXL/5": dict(patch_size=2, hidden_size=256, num_heads=4, depth=28, query_dim=512, query_heads=8, bidirectional=False),
     "Enc-Qformer-Uni0-WL/1": dict(patch_size=1, hidden_size=128, num_heads=4, depth=24, query_dim=256, query_heads=8, bidirectional=False, zero_init=True),
     "Enc-Qformer-Uni-UWL/1": dict(patch_size=1, hidden_size=256, num_heads=8, depth=24, query_dim=256, query_heads=8, bidirectional=False),
+    # TPU-build addition: a small smoke/test variant (not in the reference
+    # zoo; used by CI-scale end-to-end runs)
+    "Enc-Qformer-Uni-Tiny/2": dict(patch_size=2, hidden_size=32, num_heads=4, depth=2, query_dim=64, query_heads=8, bidirectional=False),
     # multi-res variant (encoder side of the bit-rotted MultiImageTokenizer)
     "Enc-Qformer-Multi-Res-Uni-XL/2": dict(
         patch_size=2, hidden_size=64, num_heads=4, depth=16, query_dim=512,

@@ -1,0 +1,64 @@
+"""End-to-end drives of the CLI tools at CI scale (tiny yml config)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TINY_YML = os.path.join(REPO, "tests", "data", "tiny-eval.yml")
+ENV = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+
+
+@pytest.fixture(scope="module")
+def img_dir(tmp_path_factory):
+    from PIL import Image
+
+    d = tmp_path_factory.mktemp("tool_imgs")
+    rng = np.random.default_rng(0)
+    for i in range(8):
+        Image.fromarray(rng.integers(0, 255, (80, 96, 3), dtype=np.uint8)
+                        ).save(str(d / f"x{i}.jpg"))
+    return str(d)
+
+
+def _run(args, timeout=360):
+    r = subprocess.run([sys.executable] + args, env=ENV, cwd=REPO,
+                       capture_output=True, text=True, timeout=timeout)
+    assert r.returncode == 0, r.stderr[-2000:]
+    return r.stdout
+
+
+def test_eval_recon_tool(img_dir):
+    out = _run(["tools/eval_recon.py", "--yml-path", TINY_YML,
+                "--data-dir", img_dir, "--data_size", "64",
+                "--batch-size", "4", "--steps", "2"])
+    stats = json.loads(out.strip().splitlines()[-1])
+    assert stats["n"] == 8
+    assert np.isfinite(stats["psnr"]) and np.isfinite(stats["ssim"])
+
+
+def test_tokenize_corpus_tool(img_dir, tmp_path):
+    out_file = str(tmp_path / "toks.npz")
+    out = _run(["tools/tokenize_corpus.py", "--yml-path", TINY_YML,
+                "--data-dir", img_dir, "--out", out_file,
+                "--data_size", "64", "--batch-size", "4"])
+    stats = json.loads(out.strip().splitlines()[-1])
+    assert stats["n"] == 8
+    data = np.load(out_file, allow_pickle=True)
+    assert data["tokens"].shape == (8, 8)
+    assert data["tokens"].dtype == np.int32
+
+
+def test_smoke_tool(tmp_path):
+    out_dir = str(tmp_path / "smoke")
+    _run(["smoke.py", "--yml-path", TINY_YML, "--data_size", "64",
+          "--steps", "2", "--image", "/root/reference/test.jpg",
+          "--out-dir", out_dir])
+    assert os.path.exists(os.path.join(out_dir, "token.npy"))
+    assert os.path.exists(os.path.join(out_dir, "re_0_64.png"))
+    toks = np.load(os.path.join(out_dir, "token.npy"))
+    assert toks.shape == (1, 8)
