@@ -23,7 +23,7 @@ Training path (`vq_train_apply` + `VQState`):
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

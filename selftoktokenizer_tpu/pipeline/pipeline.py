@@ -19,9 +19,9 @@ Checkpoints: loads reference ``.pth`` state dicts (ImageTokenizer layout,
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
-from typing import Optional
+
+
+
 
 import jax
 import jax.numpy as jnp
