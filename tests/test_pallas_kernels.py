@@ -66,3 +66,31 @@ def test_vq_argmax_tie_break_first():
     z[:, 0] = 1.0
     got = np.asarray(vq_argmax(jnp.asarray(z), jnp.asarray(e), interpret=True))
     np.testing.assert_array_equal(got, np.zeros(8, np.int64))
+
+
+def test_q8_matmul_accuracy():
+    from selftoktokenizer_tpu.ops.q8_matmul import q8_matmul, quantize_weight
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((300, 256)).astype(np.float32)
+    w = (rng.standard_normal((256, 512)) * 0.05).astype(np.float32)
+    wq, sw = quantize_weight(w)
+    got = np.asarray(q8_matmul(jnp.asarray(x), jnp.asarray(wq),
+                               jnp.asarray(sw), interpret=True,
+                               out_dtype=jnp.float32))
+    want = x @ w
+    rel = np.abs(got - want).mean() / np.abs(want).mean()
+    assert rel < 0.02, rel   # ~1% relative error expected from 8-bit
+
+
+def test_q8_linear_shapes():
+    from selftoktokenizer_tpu.ops.q8_matmul import q8_linear, quantize_weight
+
+    rng = np.random.default_rng(8)
+    w = (rng.standard_normal((128, 384)) * 0.05).astype(np.float32)
+    wq, sw = quantize_weight(w)
+    pq = {"w_q": jnp.asarray(wq), "s_w": jnp.asarray(sw),
+          "b": jnp.asarray(rng.standard_normal(384).astype(np.float32))}
+    x = jnp.asarray(rng.standard_normal((2, 10, 128)).astype(np.float32))
+    y = q8_linear(pq, x, interpret=True)
+    assert y.shape == (2, 10, 384)
