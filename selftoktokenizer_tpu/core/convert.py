@@ -92,3 +92,40 @@ def strip_prefix(sd, prefix):
 
 def has_prefix(sd, prefix):
     return any(k.startswith(prefix) for k in sd)
+
+
+def infer_mmdit_config_from_sd(sd, prefix=""):
+    """Derive MMDiT architecture hyperparameters by inspecting state-dict
+    shapes — the reference's BaseModel loader trick (sd3_impls.py:69-97):
+    patch size from the x_embedder kernel, depth from hidden//64, grid from
+    pos_embed length, context dims from the context_embedder.
+
+    Returns kwargs for models.mmdit.MMDiTConfig.
+    """
+    import math
+
+    def shape(name):
+        return tuple(np.shape(sd[prefix + name]))
+
+    xw = shape("x_embedder.proj.weight")          # [D, C, p, p]
+    patch_size = xw[2]
+    depth = xw[0] // 64
+    in_channels = xw[1]
+    num_patches = shape("pos_embed")[1]
+    pos_embed_max_size = round(math.sqrt(num_patches))
+    out = {
+        "patch_size": patch_size,
+        "depth": depth,
+        "in_channels": in_channels,
+        "num_patches": num_patches,
+        "pos_embed_max_size": pos_embed_max_size,
+    }
+    if prefix + "y_embedder.mlp.0.weight" in sd:
+        out["adm_in_channels"] = shape("y_embedder.mlp.0.weight")[1]
+    if prefix + "context_embedder.weight" in sd:
+        cs = shape("context_embedder.weight")     # [out, in]
+        out["encoder_hidden_size"] = cs[1]
+        out["context_dim"] = cs[0]
+    if prefix + "context_pos_embed" in sd:
+        out["K"] = shape("context_pos_embed")[1]
+    return out

@@ -98,3 +98,18 @@ def test_divergence_guard_and_tree_finite():
     import pytest as _pytest
     with _pytest.raises(FloatingPointError):
         g.check(float("inf"))
+
+
+def test_infer_mmdit_config_from_sd():
+    from tests import test_mmdit as tmm
+    from selftoktokenizer_tpu.core.convert import infer_mmdit_config_from_sd
+
+    m = tmm.build_ref_mmdit()
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    got = infer_mmdit_config_from_sd(sd)
+    assert got["depth"] == tmm.DEPTH
+    assert got["patch_size"] == 2
+    assert got["in_channels"] == 16
+    assert got["K"] == tmm.K
+    assert got["context_dim"] == tmm.HIDDEN
+    assert got["encoder_hidden_size"] == tmm.ENC_HIDDEN
