@@ -201,3 +201,40 @@ def test_alternative_interaction_modes(mode):
     np.testing.assert_array_equal(np.asarray(got_ids), want_ids.numpy())
     np.testing.assert_allclose(np.asarray(got_q), want_q.numpy(),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_plain_vit_encoder_matches_reference():
+    """The plain (non-Qformer) Encoder: K groups collected from the last K
+    ViT blocks, quantized per patch token (models_ours.py:43-257)."""
+    ref = get_ref()
+    torch.manual_seed(9)
+    quantizer_config = dict(
+        codebook_size=CODEBOOK, code_dim=CODE_DIM, w_diversity=1.0,
+        ema_entropy_ratio=0.8, w_commit=1.0, decay=0.99,
+        dead_code_threshold=0.2, reset_cluster_size=0.2,
+        smart_re_K=2, continuous=False, reg=[0.1, 0.3], K=2)
+    enc = ref.models_ours.Encoder(
+        K=2, input_size=LATENT, encoder_hidden_size=ENC_HIDDEN, patch_size=2,
+        in_channels=16, hidden_size=32, depth=3, num_heads=4,
+        pre_norm=False, post_norm=True, quantizer_config=quantizer_config)
+    enc.eval()
+    with torch.no_grad():
+        emb = torch.randn(1, CODEBOOK, CODE_DIM)
+        emb = emb / emb.norm(dim=-1, keepdim=True)
+        enc.quantizer._codebook.embed.copy_(emb)
+        enc.quantizer._codebook.initted.copy_(torch.tensor([1.0]))
+
+    cfg = EncoderConfig(
+        K=2, input_size=LATENT, encoder_hidden_size=ENC_HIDDEN, patch_size=2,
+        in_channels=16, hidden_size=32, depth=3, num_heads=4,
+        pre_norm=False, post_norm=True, qformer_mode="vit",
+        code_dim=CODE_DIM, codebook_size=CODEBOOK)
+
+    x = np.random.default_rng(9).standard_normal((2, 16, LATENT, LATENT)).astype(np.float32)
+    with torch.no_grad():
+        want_q, want_ids = enc(torch.from_numpy(x), d=None)
+    params = encoder_from_state_dict(_np_sd(enc), cfg)
+    got_q, got_ids = encoder_apply(params, cfg, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_array_equal(np.asarray(got_ids), want_ids.numpy())
+    np.testing.assert_allclose(np.asarray(got_q), want_q.numpy(),
+                               rtol=2e-4, atol=2e-5)
