@@ -66,6 +66,10 @@ class EncoderConfig:
     attn_mask: bool = False
     single_token: bool = False
     post_ln: bool = False
+    # rematerialize block activations in the backward pass (the reference's
+    # gradient_checkpointing / torch.utils.checkpoint wrapping,
+    # models_ours.py:140-143); trades recompute for activation memory
+    gradient_checkpointing: bool = False
     # True: adaLN positions are diti.get_position(k)=1000+8k (modules.py:313-314);
     # False: plain arange(K) (reference behaviour when diti is None)
     diti_positions: bool = True
@@ -421,6 +425,8 @@ def _dual_trunk(p, cfg: EncoderConfig, x, mask=None):
         cx, cq = dual_block_apply(bp, cfg, cx, cq, mods, mask=mask)
         return (cx, cq), None
 
+    if cfg.gradient_checkpointing:
+        body = jax.checkpoint(body)
     (x, query), _ = jax.lax.scan(body, (x, query), p["blocks"])
     return query
 

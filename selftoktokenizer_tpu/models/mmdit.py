@@ -71,6 +71,9 @@ class MMDiTConfig:
     repeat_mask_token: bool = False
     # Pallas flash-attention for the joint attention (TPU only; auto-gated)
     use_flash_attention: bool = True
+    # rematerialize joint-block activations in backward (the reference's
+    # JointBlock use_checkpoint, mmdit.py:600-606)
+    use_checkpoint: bool = False
 
     @property
     def hidden_size(self):
@@ -333,6 +336,8 @@ def _trunk(params, cfg: MMDiTConfig, context, x, c, ctx_mods, mask=None,
                                         mask=mask, key_mask=key_mask)
             return (ctx, cx), None
 
+        if cfg.use_checkpoint:
+            body = jax.checkpoint(body)
         (context, x), _ = jax.lax.scan(body, (context, x),
                                        (params["joint_blocks"], ctx_mods))
     else:
@@ -342,6 +347,8 @@ def _trunk(params, cfg: MMDiTConfig, context, x, c, ctx_mods, mask=None,
                                         mask=mask, key_mask=key_mask)
             return (ctx, cx), None
 
+        if cfg.use_checkpoint:
+            body = jax.checkpoint(body)
         (context, x), _ = jax.lax.scan(body, (context, x),
                                        params["joint_blocks"])
     _, x = joint_block_apply(params["last_block"], cfg, context, x, c,

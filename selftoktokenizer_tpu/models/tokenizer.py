@@ -87,6 +87,9 @@ def tokenizer_config_from_params(params) -> TokenizerConfig:
         p["model"], K=k, input_size=latent_size,
         encoder_hidden_size=p["encoder_hidden_size"],
         in_channels=p.get("in_channels", 16), decoder_config=dec_cfg_in)
+    if p.get("gradient_checkpointing", False):
+        encoder.gradient_checkpointing = True
+        decoder.use_checkpoint = True
     return TokenizerConfig(
         encoder=encoder, decoder=decoder, k=k, t2k=p.get("t2k", 1.0),
         stages=stages, k_per_stage=_none(p.get("k_per_stage")),

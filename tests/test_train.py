@@ -184,3 +184,27 @@ def test_vq_train_apply_reference_semantics():
     # straight-through output (projected) matches reference quantize
     np.testing.assert_allclose(np.asarray(q_j), q_t.numpy(), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_gradient_checkpointing_same_grads(setup):
+    """remat (gradient_checkpointing / use_checkpoint) must not change
+    gradients, only activation memory."""
+    import dataclasses
+
+    tcfg, params = setup
+    x = jax.random.normal(jax.random.PRNGKey(11), (2, 8, 8, 16))
+    vq_state = vq_mod.vq_state_init(params["encoder"]["quantizer"], tcfg.k)
+
+    def grads(cfg):
+        return jax.grad(lambda p: tokenizer_loss(
+            p, cfg, x, jax.random.PRNGKey(12), vq_state=vq_state)[0])(params)
+
+    g_plain = grads(tcfg)
+    tcfg2 = dataclasses.replace(
+        tcfg, encoder=dataclasses.replace(tcfg.encoder, gradient_checkpointing=True),
+        decoder=dataclasses.replace(tcfg.decoder, use_checkpoint=True))
+    g_remat = grads(tcfg2)
+    for a, b in zip(jax.tree_util.tree_leaves(g_plain),
+                    jax.tree_util.tree_leaves(g_remat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

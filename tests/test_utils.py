@@ -113,3 +113,21 @@ def test_infer_mmdit_config_from_sd():
     assert got["K"] == tmm.K
     assert got["context_dim"] == tmm.HIDDEN
     assert got["encoder_hidden_size"] == tmm.ENC_HIDDEN
+
+
+def test_profiler_trace_capture(tmp_path):
+    from selftoktokenizer_tpu.utils.profiling import trace, step_timer
+    import os
+
+    d = str(tmp_path / "trace")
+    with trace(d):
+        x = jnp.ones((64, 64))
+        (x @ x).block_until_ready()
+    # a plugins/profile/<ts>/ dir with a .xplane.pb capture appears
+    found = []
+    for root, _, files in os.walk(d):
+        found += [f for f in files if f.endswith(".xplane.pb")]
+    assert found, f"no xplane capture under {d}"
+
+    dt = step_timer(lambda a: a @ a, jnp.ones((32, 32)), iters=3, warmup=1)
+    assert dt > 0
