@@ -233,17 +233,20 @@ void resize_bilinear(const Image& src, int nw, int nh,
 // shortest-side resize -> center crop -> normalize to [-1,1] float32 NHWC
 bool preprocess_to(const Image& img, int size, float* out) {
   if (!img.ok || img.w <= 0 || img.h <= 0) return false;
+  // torchvision semantics: long side truncated int(size*long/short);
+  // center-crop offsets rounded
   int nw, nh;
   if (img.w < img.h) {
     nw = size;
-    nh = int(float(img.h) * size / img.w + 0.5f);
+    nh = int(double(size) * img.h / img.w);
   } else {
     nh = size;
-    nw = int(float(img.w) * size / img.h + 0.5f);
+    nw = int(double(size) * img.w / img.h);
   }
   std::vector<uint8_t> resized;
   resize_bilinear(img, nw, nh, &resized);
-  int left = (nw - size) / 2, top = (nh - size) / 2;
+  int left = int((nw - size) / 2.0 + 0.5);
+  int top = int((nh - size) / 2.0 + 0.5);
   for (int y = 0; y < size; y++) {
     const uint8_t* row = resized.data() + (size_t(y + top) * nw + left) * 3;
     float* orow = out + size_t(y) * size * 3;

@@ -474,16 +474,21 @@ def get_encoder_outs(p, cfg: EncoderConfig, x):
     raise ValueError(mode)
 
 
-def get_encoder_mask(cfg: EncoderConfig, d, patches_per_token=1):
+def get_encoder_mask(cfg: EncoderConfig, d, patches_per_token=1,
+                     single_token=False):
     """Token activation mask: token k active iff k <= d (models_ours.py:345-353).
 
     d: [B] int per-sample depth. Returns bool [B, K*patches_per_token].
+    NOTE: the reference forward path always calls this with single_token at
+    its default False (models_ours.py:253 never forwards the flag), so
+    cfg.single_token deliberately does NOT change the mask here — pass
+    single_token=True explicitly for the == selection semantics.
     (The plain-ViT variant's reference implementation would error for
     patches_per_token > 1 — torch ``expand`` to a mismatched length,
     models_ours.py:152-155; we implement the intended broadcast.)
     """
     ids = jnp.repeat(jnp.arange(cfg.K), patches_per_token)
-    if cfg.single_token:
+    if single_token:
         return ids[None, :] == d[:, None]
     return ids[None, :] <= d[:, None]
 

@@ -237,7 +237,11 @@ def precompute_context_mods(params, cfg: MMDiTConfig):
     """
     if cfg.time_adaln not in ("pos_emb", "pos_t_emb"):
         return None
-    base = 1000 + 8 * np.arange(cfg.K) if cfg.diti_positions else np.arange(cfg.K)
+    # the context stream seen by the blocks includes prepended registers
+    # (mmdit.py:919-927); the reference derives positions from x.shape[1]
+    # inside the block (mmdit.py:447-451), i.e. over register_length + K
+    L = cfg.register_length + cfg.K
+    base = 1000 + 8 * np.arange(L) if cfg.diti_positions else np.arange(L)
     positions = jnp.asarray(base, jnp.float32)
 
     if cfg.time_adaln == "pos_t_emb":
@@ -431,8 +435,8 @@ def mmdit_apply(params, cfg: MMDiTConfig, x, t, encoder_hidden_states,
 
     if mask is None:
         mask = jnp.ones((B, Lc), bool)
-    if ctx_mods is not None and ctx_mods.shape[1] != Lc:
-        ctx_mods = ctx_mods[:, :Lc]
+    if ctx_mods is not None and             ctx_mods.shape[1] != cfg.register_length + Lc:
+        ctx_mods = ctx_mods[:, :cfg.register_length + Lc]
     if drop_ids is not None:
         # CFG condition-drop (mmdit.py:935-963): zero context + mask for
         # dropped samples (only when t != 1000)
@@ -440,8 +444,6 @@ def mmdit_apply(params, cfg: MMDiTConfig, x, t, encoder_hidden_states,
         context = jnp.where(drop[:, None, None], 0.0, context)
         mask = jnp.where(drop[:, None], jnp.zeros_like(mask), mask)
 
-    if y is None and cfg.sd3_cond_pooling:
-        y = _pool_y(params, cfg, encoder_hidden_states, mask)
     if y is not None:
         c = c + y
 
@@ -476,6 +478,14 @@ def mmdit_cfg_inference(params, cfg: MMDiTConfig, x, t, encoder_hidden_states,
     xt = xt + crop_pos_embed(params["pos_embed"], cfg.pos_embed_max_size,
                              gh, gw).astype(xt.dtype)
     c = timestep_embedder(params["t_embedder"], ti).astype(xt.dtype)
+    if cfg.sd3_cond_pooling and encoder_hidden_states is not None:
+        # (mmdit.py:1131-1143; the uncond branch's uncond_y buffer is loaded
+        # from a file the reference does not ship — omitted)
+        y = _pool_y(params, cfg, encoder_hidden_states,
+                    mask if mask is not None
+                    else jnp.ones((B, encoder_hidden_states.shape[1]), bool))
+        if y is not None:
+            c = c + y
     if encoder_hidden_states is None:
         context = jnp.zeros((B, cfg.K, cfg.hidden_size), xt.dtype)
     else:
@@ -749,6 +759,10 @@ def mmdit_multires_apply(params, cfg: MMDiTConfig, x, t,
                          context_see_rec=False, y=None):
     """MMDiT.forward with the low-res context + rec streams active
     (mmdit.py:992-1101 with low_res / low_res_context set)."""
+    if cfg.time_adaln == "pos_t_emb":
+        raise NotImplementedError(
+            "pos_t_emb is not supported on the multires path (no reference "
+            "config combines them)")
     B, h, w, _ = x.shape
     gh, gw = h // cfg.patch_size, w // cfg.patch_size
     t1000 = t * 1000.0
@@ -781,7 +795,9 @@ def mmdit_multires_apply(params, cfg: MMDiTConfig, x, t,
     full = build_multires_mask(mask, xt.shape[1], cmask, rec_mask,
                                context_see_xt, context_see_rec)
 
-    ctx_mods = precompute_context_mods(params, cfg)
+    # adaLN tables only exist in 'pos_emb' mode; 't_emb' (the
+    # build_decoder_config default) derives mods from c inside the block
+    ctx_mods = precompute_context_mods(params, cfg)         if cfg.time_adaln == "pos_emb" else None
     lowres_mods = None
     if cfg.time_adaln == "pos_emb":
         base = (1000 + 8 * np.arange(cfg.K) if cfg.diti_positions
@@ -795,19 +811,28 @@ def mmdit_multires_apply(params, cfg: MMDiTConfig, x, t,
         lowres_mods = jax.vmap(
             lambda bp: one(bp["context_block_low_res"]))(params["joint_blocks"])
 
-    def body(carry, inp):
-        ctx, cx, clr, cr = carry
-        bp, m1, m2 = inp
-        ctx, cx, clr, cr = joint_block_apply_mr(
-            bp, cfg, ctx, cx, c, c0, ctx_lowres=clr, rec=cr, pos_mods=m1,
-            lowres_pos_mods=m2, mask=full)
-        return (ctx, cx, clr, cr), None
+    if ctx_mods is not None:
+        def body(carry, inp):
+            ctx, cx, clr, cr = carry
+            bp, m1, m2 = inp
+            ctx, cx, clr, cr = joint_block_apply_mr(
+                bp, cfg, ctx, cx, c, c0, ctx_lowres=clr, rec=cr, pos_mods=m1,
+                lowres_pos_mods=m2, mask=full)
+            return (ctx, cx, clr, cr), None
 
-    zeros = jnp.zeros((cfg.depth - 1, 1)) if ctx_mods is None else ctx_mods
-    lzeros = jnp.zeros((cfg.depth - 1, 1)) if lowres_mods is None else lowres_mods
-    (context, xt, ctx_lowres, rec), _ = jax.lax.scan(
-        body, (context, xt, ctx_lowres, rec),
-        (params["joint_blocks"], zeros, lzeros))
+        (context, xt, ctx_lowres, rec), _ = jax.lax.scan(
+            body, (context, xt, ctx_lowres, rec),
+            (params["joint_blocks"], ctx_mods[:, :context.shape[1]],
+             lowres_mods))
+    else:
+        def body(carry, bp):
+            ctx, cx, clr, cr = carry
+            ctx, cx, clr, cr = joint_block_apply_mr(
+                bp, cfg, ctx, cx, c, c0, ctx_lowres=clr, rec=cr, mask=full)
+            return (ctx, cx, clr, cr), None
+
+        (context, xt, ctx_lowres, rec), _ = jax.lax.scan(
+            body, (context, xt, ctx_lowres, rec), params["joint_blocks"])
     _, xt, _, _ = joint_block_apply_mr(
         params["last_block"], cfg, context, xt, c, c0, ctx_lowres=ctx_lowres,
         rec=rec, mask=full, last=True)

@@ -286,18 +286,37 @@ def multi_tokenizer_loss(params, cfg: MultiTokenizerConfig, batch, rng,
         k_batch = diti.to_indices(t * 1000.0)
     t = flow_mod.shift_t(t, shift)
 
+    from selftoktokenizer_tpu.models.encoder import (
+        _embed_patches, get_encoder_outs, get_encoder_mask)
+    from selftoktokenizer_tpu.ops.norms import layer_norm
+
     ehs_list, mask_list = [], []
     quan_loss = 0.0
     log_dict = {}
     new_states = {}
-    for res, ecfg in cfg.encoders.items():
-        out = encoder_apply(params["encoder"][res], ecfg, batch[res],
-                            d=k_batch)
-        ehs_list.append(out[0])
-        mask_list.append(out[3])
-        quan_loss = quan_loss + out[4]
-        log_dict[f"vq_{res}"] = out[5]
-        new_states[res] = vq_states.get(res) if vq_states else None
+    for i, (res, ecfg) in enumerate(cfg.encoders.items()):
+        ep = params["encoder"][res]
+        x_emb = _embed_patches(ep, ecfg, batch[res])
+        outs = get_encoder_outs(ep, ecfg, x_emb)
+        if ecfg.pre_norm:
+            outs = layer_norm(outs, **ep["final_layer_norm"])
+        st = vq_states.get(res) if vq_states else None
+        if st is not None:
+            # train the quantizer: EMA codebook update + commit/diversity loss
+            outs_q, _, ql, new_st, vq_logs = vq_mod.vq_train_apply(
+                ep["quantizer"], st, outs, cfg.quantizer,
+                rng=jax.random.fold_in(rng, 100 + i))
+        else:
+            outs_q, _, ql, vq_logs = vq_mod.vq_apply(ep["quantizer"], outs)
+            new_st = None
+        if ecfg.post_norm:
+            outs_q = layer_norm(outs_q, **ep["final_layer_norm3"])
+        enc_mask = get_encoder_mask(ecfg, k_batch)
+        ehs_list.append(outs_q * enc_mask[..., None].astype(outs_q.dtype))
+        mask_list.append(enc_mask)
+        quan_loss = quan_loss + ql
+        log_dict[f"vq_{res}"] = vq_logs
+        new_states[res] = new_st
     ehs = jnp.stack(ehs_list, axis=2).reshape(B, -1, ehs_list[0].shape[-1])
     mask = jnp.stack(mask_list, axis=2).reshape(B, -1)
 

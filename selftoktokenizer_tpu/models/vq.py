@@ -175,13 +175,20 @@ def _calc_ema_entropy(dist, onehot_ema, ratio_d, groups=64):
     dist: [B, K, C] scaled distances; onehot_ema: [K, C] position-usage EMA.
     Group entropy pools over chunks of the K axis (tensor_split(64, dim=0));
     for K < 64 we use K groups (the reference would emit empty chunks)."""
+    import numpy as _np
+
     pr = jax.nn.softmax(dist, axis=-1)
     ap = jnp.mean(pr, axis=0)                       # [K, C] batch-mean
     ema_p = onehot_ema * (1 - ratio_d) + ap * ratio_d
     ent1 = jnp.mean(-jnp.sum(ema_p * jnp.log(ema_p), axis=-1))
     K = ema_p.shape[0]
     g_n = min(groups, K)
-    g = ema_p.reshape(g_n, K // g_n, -1).mean(axis=1)
+    # torch tensor_split semantics: first K%g_n chunks get one extra row
+    sizes = _np.full(g_n, K // g_n)
+    sizes[: K % g_n] += 1
+    gid = jnp.asarray(_np.repeat(_np.arange(g_n), sizes))
+    sums = jax.ops.segment_sum(ema_p, gid, num_segments=g_n)
+    g = sums / jnp.asarray(sizes, ema_p.dtype)[:, None]
     ent2 = jnp.mean(-jnp.sum(g * jnp.log(g), axis=-1))
     return ent1, ent2
 
@@ -208,8 +215,34 @@ def vq_train_apply(p, state: VQState, x, cfg, rng=None):
     C = p["embed"].shape[0]
 
     z = l2norm(project_in(p, x).astype(jnp.float32))
-    embed = jax.lax.stop_gradient(state.embed)
     flat = z.reshape(1, B * K, -1)
+
+    # first-batch k-means codebook seeding (the reference's mandatory
+    # kmeans_init=True path, vector_quantize_pytorch.py:420-444): when the
+    # state is not yet initted, the codebook/cluster stats are replaced by
+    # k-means over this (global) batch BEFORE the distance/EMA pass.
+    if rng is not None:
+        rng, r_km = jax.random.split(rng)
+        flat0 = jax.lax.stop_gradient(flat[0])
+
+        def _do_km(_):
+            means = kmeans_cosine(r_km, flat0, C,
+                                  num_iters=cfg.get("kmeans_iters", 10))
+            buckets = jnp.argmax(flat0 @ means.T, axis=-1)
+            bins = jax.ops.segment_sum(
+                jnp.ones(flat0.shape[0], jnp.float32), buckets,
+                num_segments=C)
+            return means, bins, means * bins[:, None]
+
+        def _no_km(_):
+            return (jax.lax.stop_gradient(state.embed), state.cluster_size,
+                    state.embed_avg)
+
+        embed, prev_cluster, prev_embed_avg = jax.lax.cond(
+            state.initted, _no_km, _do_km, None)
+    else:
+        embed = jax.lax.stop_gradient(state.embed)
+        prev_cluster, prev_embed_avg = state.cluster_size, state.embed_avg
     dist = jnp.einsum("hnd,cd->hnc", flat, embed,
                       precision=jax.lax.Precision.HIGHEST)
     ids = jnp.argmax(dist, axis=-1)  # [1, B*K]
@@ -225,8 +258,8 @@ def vq_train_apply(p, state: VQState, x, cfg, rng=None):
 
     bins = onehot[0].sum(axis=0)                                  # [C]
     embed_sum = jnp.einsum("nd,nc->cd", flat[0], onehot[0])       # [C, D]
-    new_cluster = state.cluster_size * decay + bins * (1 - decay)
-    new_embed_avg = state.embed_avg * decay + embed_sum * (1 - decay)
+    new_cluster = prev_cluster * decay + bins * (1 - decay)
+    new_embed_avg = prev_embed_avg * decay + embed_sum * (1 - decay)
     cs = _laplace_smoothing(new_cluster, C) * jnp.sum(new_cluster)
     embed_normalized = l2norm(new_embed_avg / cs[:, None])
     delta_embed = jnp.sum((embed - embed_normalized) ** 2)

@@ -62,6 +62,10 @@ ENC_MODELS = {
 DIT_MODELS = ("MMDiT_XL", "MMDiT_XL_Renderer", "RenderDiT_XL")
 
 
+def _none_str(v):
+    return None if v in (None, "None", "") else v
+
+
 def build_encoder_config(name, K, input_size, encoder_hidden_size, in_channels,
                          quantizer_config, encoder_config=None) -> EncoderConfig:
     """Named encoder -> EncoderConfig, folding in ImageTokenizer-provided
@@ -108,8 +112,9 @@ def build_decoder_config(name, K, input_size, encoder_hidden_size, in_channels,
         adm_in_channels=encoder_hidden_size,
         class_dropout_prob=dc.get("class_dropout_prob", 0.1),
         time_adaln=time_adaln if time_adaln else "t_emb",
-        sd3_cond_pooling=dc.get("sd3_cond_pooling"),
-        qk_norm=dc.get("qk_norm"),
+        # YAML spells None as the bare string 'None' (shipped configs)
+        sd3_cond_pooling=_none_str(dc.get("sd3_cond_pooling")),
+        qk_norm=_none_str(dc.get("qk_norm")),
         renderer=name.endswith("Renderer") or name.startswith("RenderDiT"),
         input_size=input_size,
         repeat_mask_token=dc.get("repeat", False),

@@ -58,8 +58,13 @@ def q8_matmul(x, wq, sw, interpret=False, out_dtype=jnp.bfloat16):
     if padm:
         x = jnp.pad(x, ((0, padm), (0, 0)))
     Mp = x.shape[0]
-    grid = (Mp // BLOCK_M, max(N // BLOCK_N, 1))
     bn = min(BLOCK_N, N)
+    padn = (-N) % bn
+    if padn:  # cover remainder column blocks (e.g. N=768 with BLOCK_N=512)
+        wq = jnp.pad(wq, ((0, 0), (0, padn)))
+        sw = jnp.pad(sw, ((0, padn),), constant_values=1.0)
+    Np_cols = wq.shape[1]
+    grid = (Mp // BLOCK_M, Np_cols // bn)
     out = pl.pallas_call(
         _kernel,
         grid=grid,
@@ -73,14 +78,14 @@ def q8_matmul(x, wq, sw, interpret=False, out_dtype=jnp.bfloat16):
         ],
         out_specs=pl.BlockSpec((BLOCK_M, bn), lambda m, n: (m, n),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np_cols), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * Mp * K * N,
             bytes_accessed=Mp * K + K * N + Mp * N * 2,
             transcendentals=0),
         interpret=interpret,
     )(x, wq, sw.reshape(1, -1))
-    return out[:M]
+    return out[:M, :N]
 
 
 def q8_linear(pq, x, interpret=False):

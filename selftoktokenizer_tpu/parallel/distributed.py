@@ -18,20 +18,30 @@ import jax
 import numpy as np
 
 
+_initialized = False
+
+
 def init(coordinator_address: Optional[str] = None,
          num_processes: Optional[int] = None,
          process_id: Optional[int] = None):
-    """Initialize the multi-host runtime (idempotent single-host no-op).
+    """Initialize the multi-host runtime. Must run before any other JAX call
+    (backend init pins the process topology).
 
-    On TPU pods the three arguments are auto-detected from the environment;
-    pass them explicitly for CPU/GPU multi-process simulation."""
-    if jax.process_count() > 1:
-        return  # already initialized
-    if coordinator_address is None and num_processes in (None, 1):
-        return  # single process — nothing to do
-    jax.distributed.initialize(coordinator_address=coordinator_address,
-                               num_processes=num_processes,
-                               process_id=process_id)
+    With no arguments, jax.distributed auto-detects TPU pod topology from the
+    environment; on a single host / non-pod it raises internally and we fall
+    back to single-process. Idempotent."""
+    global _initialized
+    if _initialized:
+        return
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+        _initialized = True
+    except Exception:
+        # single process (no coordinator / no pod env) — run locally
+        if num_processes not in (None, 1):
+            raise
 
 
 def global_batch(mesh, per_host_batch):

@@ -17,14 +17,16 @@ def load_image(path, size):
 def preprocess_pil(img, size):
     """PIL image -> float32 NHWC [1,H,W,3] in [-1,1]."""
     w, h = img.size
-    # torchvision Resize(size): shortest side -> size, bilinear
+    # torchvision Resize(size): shortest side -> size, long side truncated
+    # int(size * long / short) (functional.resize), bilinear
     if w < h:
-        nw, nh = size, int(round(h * size / w))
+        nw, nh = size, int(size * h / w)
     else:
-        nw, nh = int(round(w * size / h)), size
+        nw, nh = int(size * w / h), size
     img = img.resize((nw, nh), resample=2)  # PIL.Image.BILINEAR
-    left = (nw - size) // 2
-    top = (nh - size) // 2
+    # torchvision CenterCrop: int(round((dim - size) / 2))
+    left = int(round((nw - size) / 2.0))
+    top = int(round((nh - size) / 2.0))
     img = img.crop((left, top, left + size, top + size))
     arr = np.asarray(img).astype(np.float32)
     arr = arr / 127.5 - 1.0

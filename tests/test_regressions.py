@@ -1,0 +1,117 @@
+"""Regression tests for review findings (round-1 code review)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from selftoktokenizer_tpu.models.mmdit import (
+    MMDiTConfig, mmdit_init, mmdit_multires_init, mmdit_multires_apply,
+    mmdit_apply)
+from selftoktokenizer_tpu.models import vq as vq_mod
+
+
+def test_multires_t_emb_mode_runs():
+    """time_adaln='t_emb' (the build_decoder_config default) on the multires
+    path used to crash in the scan body."""
+    cfg = MMDiTConfig(depth=2, K=4, pos_embed_max_size=8, num_patches=64,
+                      encoder_hidden_size=8, context_dim=128,
+                      adm_in_channels=8, time_adaln="t_emb", in_channels=16)
+    params = mmdit_multires_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 16))
+    out = mmdit_multires_apply(
+        params, cfg, x, jnp.asarray([0.5]),
+        jax.random.normal(jax.random.PRNGKey(2), (1, 4, 8)),
+        jax.random.normal(jax.random.PRNGKey(3), (1, 4, 8)),
+        jax.random.normal(jax.random.PRNGKey(4), (1, 8, 8, 16)),
+        context_see_xt=True)
+    assert out.shape == (1, 8, 8, 16)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_register_length_pos_emb_runs():
+    """register_length>0 with pos_emb adaLN used to crash (table was K-long
+    while the context stream is reg+K)."""
+    cfg = MMDiTConfig(depth=2, K=4, pos_embed_max_size=8, num_patches=64,
+                      encoder_hidden_size=8, context_dim=128,
+                      adm_in_channels=8, time_adaln="pos_emb",
+                      register_length=2, in_channels=16)
+    params = mmdit_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 16))
+    ehs = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 8))
+    out = mmdit_apply(params, cfg, x, jnp.asarray([0.4]), ehs,
+                      context_see_xt=True)
+    assert out.shape == (1, 8, 8, 16)
+
+
+def test_q8_matmul_remainder_columns():
+    """N not a multiple of BLOCK_N used to leave trailing columns garbage."""
+    from selftoktokenizer_tpu.ops.q8_matmul import q8_matmul, quantize_weight
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((64, 128)).astype(np.float32)
+    w = (rng.standard_normal((128, 768)) * 0.05).astype(np.float32)  # 768 % 512 != 0
+    wq, sw = quantize_weight(w)
+    got = np.asarray(q8_matmul(jnp.asarray(x), jnp.asarray(wq),
+                               jnp.asarray(sw), interpret=True,
+                               out_dtype=jnp.float32))
+    want = x @ w
+    rel = np.abs(got - want).mean() / np.abs(want).mean()
+    assert np.isfinite(got).all()
+    assert rel < 0.02, rel
+
+
+def test_vq_kmeans_first_batch_init():
+    """Training from scratch must k-means-seed the codebook on the first
+    batch (reference kmeans_init=True), not EMA a random codebook."""
+    C, D, B, K = 32, 8, 4, 16
+    key = jax.random.PRNGKey(0)
+    p = vq_mod.vq_init(key, latent_dim=D, code_dim=D, codebook_size=C)
+    st = vq_mod.vq_state_init(p, K)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, K, D))
+    cfgq = {"decay": 0.9, "w_commit": 1.0, "w_diversity": 0.0,
+            "smart_react": False, "threshold_ema_dead_code": 0.0}
+    _, _, _, st1, _ = vq_mod.vq_train_apply(p, st, x, cfgq,
+                                            rng=jax.random.PRNGKey(2))
+    assert bool(st1.initted)
+    # the seeded codebook comes from batch vectors, not the random init:
+    # every code should be (near) a normalized batch sample or a kmeans mean,
+    # so cosine distance of codes to the batch should be far higher than for
+    # the random init.
+    z = vq_mod.l2norm(x.reshape(-1, D))
+    sim_seeded = float(jnp.mean(jnp.max(st1.embed @ z.T, axis=1)))
+    sim_random = float(jnp.mean(jnp.max(st.embed @ z.T, axis=1)))
+    assert sim_seeded > sim_random + 0.1, (sim_seeded, sim_random)
+    # cluster stats were seeded too
+    assert float(jnp.sum(st1.cluster_size)) > 0
+
+
+def test_ema_entropy_uneven_k():
+    """K not divisible by 64 must not crash smart-react entropy (K=40 zoo
+    variants)."""
+    C, D, B, K = 128, 8, 2, 40
+    key = jax.random.PRNGKey(3)
+    p = vq_mod.vq_init(key, latent_dim=D, code_dim=D, codebook_size=C)
+    st = vq_mod.vq_state_init(p, K)
+    x = jax.random.normal(jax.random.PRNGKey(4), (B, K, D))
+    cfgq = {"decay": 0.9, "w_commit": 1.0, "w_diversity": 1.0,
+            "smart_react": True, "ema_entropy_ratio": 0.8, "reg": [0.1, 0.3],
+            "threshold_ema_dead_code": 0.0}
+    _, _, loss, st1, _ = vq_mod.vq_train_apply(p, st, x, cfgq,
+                                               rng=jax.random.PRNGKey(5))
+    assert np.isfinite(float(loss))
+
+
+def test_preprocess_torchvision_rounding():
+    """Resize long side truncates (int), center-crop offsets round — the
+    torchvision formulas the reference test.py uses."""
+    from PIL import Image
+
+    from selftoktokenizer_tpu.pipeline.preprocess import preprocess_pil
+
+    # 500x300 -> torchvision: nw = int(256*500/300) = 426 (not round->427)
+    img = Image.fromarray(np.zeros((300, 500, 3), np.uint8))
+    out = preprocess_pil(img, 256)
+    assert out.shape == (1, 256, 256, 3)
+    # formula checks
+    assert int(256 * 500 / 300) == 426
+    assert int(round((426 - 256) / 2.0)) == 85
