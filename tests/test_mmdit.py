@@ -189,3 +189,48 @@ def test_mmdit_pos_t_emb_mode():
                       jnp.asarray(t), jnp.asarray(ehs), context_see_xt=True)
     got = np.asarray(got).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(got, want.numpy(), rtol=2e-3, atol=2e-4)
+
+
+def test_cfg_inference_cond_pooling_matches_reference():
+    """sd3_cond_pooling='last'/'mean' on the conditional cfg_inference branch
+    (mmdit.py:1131-1143): pooled encoder state -> y_embedder -> added to c."""
+    import dataclasses
+
+    for pooling in ("last", "mean"):
+        ref = get_ref()
+        torch.manual_seed(11)
+        diti = ref.diti_utils.DiTi_cont(1000, K, "500,1000", "4,2")
+        m = ref.mmdit.MMDiT(
+            pos_embed_scaling_factor=None, pos_embed_offset=None,
+            pos_embed_max_size=LATENT, patch_size=2, depth=DEPTH,
+            num_patches=LATENT * LATENT, adm_in_channels=ENC_HIDDEN,
+            context_embedder_config={
+                "target": "torch.nn.Linear",
+                "params": {"in_features": ENC_HIDDEN, "out_features": HIDDEN}},
+            device="cpu", dtype=torch.float, K=K, input_size=LATENT,
+            in_channels=16, sd3_cond_pooling=pooling, class_dropout_prob=0.1,
+            train_filter=None, freeze_filter=[], init_method=None,
+            time_adaln="pos_emb", diti=diti, use_checkpoint=True)
+        m.eval()
+        with torch.no_grad():
+            m.pos_embed.copy_(torch.randn_like(m.pos_embed) * 0.02)
+        cfg = dataclasses.replace(jax_cfg(), sd3_cond_pooling=pooling)
+        params = mmdit_from_state_dict(_np_sd(m), cfg)
+
+        rng = np.random.default_rng(11)
+        x = rng.standard_normal((2, 16, LATENT, LATENT)).astype(np.float32)
+        ehs = rng.standard_normal((2, K, ENC_HIDDEN)).astype(np.float32)
+        t = np.array([0.5, 0.8], dtype=np.float32)
+        # the reference's 'last' pooling indexes with mask.sum()-1 and needs
+        # an integer mask (float masks IndexError at mmdit.py:1136)
+        mask = np.array([[1, 1, 1, 0, 0, 0], [1, 1, 1, 1, 1, 1]],
+                        dtype=np.int64)
+        with torch.no_grad():
+            want = m.cfg_inference(
+                torch.from_numpy(x), torch.from_numpy(t), None,
+                torch.from_numpy(ehs), mask=torch.from_numpy(mask), shape=K)
+        got = mmdit_cfg_inference(
+            params, cfg, jnp.asarray(x.transpose(0, 2, 3, 1)),
+            jnp.asarray(t), jnp.asarray(ehs), mask=jnp.asarray(mask, bool))
+        got = np.asarray(got).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(got, want.numpy(), rtol=2e-3, atol=2e-4)
