@@ -102,3 +102,36 @@ def _sqrtm_psd(m, eps=1e-6):
     w, v = np.linalg.eigh((m + m.T) / 2)
     w = np.clip(w, eps, None)
     return (v * np.sqrt(w)) @ v.T
+
+
+def recall_at_k(sim, ks=(1, 5, 10)):
+    """Retrieval Recall@K over a similarity matrix [N_query, N_gallery] with
+    matched pairs on the diagonal (ref: mimogpt/utils/eval_utils.py
+    RecallAtK_ret)."""
+    import numpy as np
+
+    sim = np.asarray(sim)
+    n = sim.shape[0]
+    ranks = np.argsort(-sim, axis=1)
+    pos = np.argmax(ranks == np.arange(n)[:, None], axis=1)
+    return {f"R@{k}": float(np.mean(pos < k)) for k in ks}
+
+
+def mean_average_precision(sim, labels_q, labels_g):
+    """Retrieval mAP: queries vs gallery with class labels
+    (ref: eval_utils.py calc_map)."""
+    import numpy as np
+
+    sim = np.asarray(sim)
+    labels_q = np.asarray(labels_q)
+    labels_g = np.asarray(labels_g)
+    aps = []
+    order = np.argsort(-sim, axis=1)
+    for i in range(sim.shape[0]):
+        rel = labels_g[order[i]] == labels_q[i]
+        if not rel.any():
+            continue
+        cum = np.cumsum(rel)
+        prec = cum / (np.arange(len(rel)) + 1)
+        aps.append(float((prec * rel).sum() / rel.sum()))
+    return float(np.mean(aps)) if aps else 0.0

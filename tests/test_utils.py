@@ -131,3 +131,23 @@ def test_profiler_trace_capture(tmp_path):
 
     dt = step_timer(lambda a: a @ a, jnp.ones((32, 32)), iters=3, warmup=1)
     assert dt > 0
+
+
+def test_retrieval_metrics():
+    from selftoktokenizer_tpu.utils.metrics import (
+        recall_at_k, mean_average_precision)
+
+    # identity similarity -> perfect retrieval
+    sim = np.eye(8)
+    r = recall_at_k(sim, ks=(1, 5))
+    assert r["R@1"] == 1.0 and r["R@5"] == 1.0
+    # shuffled: diagonal never best
+    sim = np.roll(np.eye(8), 1, axis=1)
+    assert recall_at_k(sim, ks=(1,))["R@1"] == 0.0
+
+    labels = np.array([0, 0, 1, 1])
+    sim = np.array([[0.9, 0.8, 0.1, 0.0],
+                    [0.8, 0.9, 0.0, 0.1],
+                    [0.1, 0.0, 0.9, 0.8],
+                    [0.0, 0.1, 0.8, 0.9]])
+    assert mean_average_precision(sim, labels, labels) == 1.0

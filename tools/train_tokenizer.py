@@ -37,6 +37,9 @@ def main():
     p.add_argument("--log-interval", type=int, default=10)
     p.add_argument("--ckpt-interval", type=int, default=1000)
     p.add_argument("--ckpt-dir", default="/tmp/selftok_ckpt")
+    p.add_argument("--recon-interval", type=int, default=0,
+                   help="save a decoded sample grid every N steps "
+                        "(log_recon_interval parity)")
     p.add_argument("--synthetic", action="store_true",
                    help="random latents instead of images (perf/dev runs)")
     p.add_argument("--mesh-fsdp", type=int, default=1)
@@ -137,6 +140,18 @@ def main():
                 save_checkpoint(os.path.join(args.ckpt_dir, f"step_{i + 1}"),
                                 {"params": state.params,
                                  "vq_state": state.vq_state._asdict()})
+            if args.recon_interval and (i + 1) % args.recon_interval == 0:
+                # decode the first latents through the current decoder + VAE
+                from selftoktokenizer_tpu.models.vae import (
+                    SD3LatentFormat as _F, vae_decode)
+                from selftoktokenizer_tpu.pipeline.preprocess import save_image
+
+                img = vae_decode(vae_params, vae_cfg,
+                                 _F.process_out(batch[:1]).astype(jnp.bfloat16))
+                img = (jnp.clip(img.astype(jnp.float32), -1, 1) + 1) / 2
+                os.makedirs(args.ckpt_dir, exist_ok=True)
+                save_image(np.asarray(img),
+                           os.path.join(args.ckpt_dir, f"recon_{i + 1}.png"))
     print(json.dumps({"final_loss": meter.avg or float(logs["loss"]),
                       "steps": args.steps}))
 
