@@ -115,3 +115,32 @@ def test_preprocess_torchvision_rounding():
     # formula checks
     assert int(256 * 500 / 300) == 426
     assert int(round((426 - 256) / 2.0)) == 85
+
+
+def test_all_zoo_encoder_configs_construct():
+    """Every named encoder entry builds a consistent EncoderConfig."""
+    from selftoktokenizer_tpu.models import zoo
+
+    qcfg = {"code_dim": 16, "codebook_size": 32768}
+    for name, spec in zoo.ENC_MODELS.items():
+        if spec.get("multires"):
+            continue
+        k = min(spec.get("max_K", 512), 16)
+        cfg = zoo.build_encoder_config(
+            name, K=k, input_size=32, encoder_hidden_size=16, in_channels=16,
+            quantizer_config=qcfg,
+            encoder_config={"qformer_mode": "dual", "time_adaln": True,
+                            "post_norm": True})
+        assert cfg.hidden_size % cfg.num_heads == 0, name
+        assert cfg.query_dim % cfg.query_heads == 0, name
+        if cfg.bidirectional:
+            assert cfg.hidden_size == cfg.query_dim, name
+            assert cfg.num_heads == cfg.query_heads, name
+
+
+def test_all_dit_configs_construct():
+    from selftoktokenizer_tpu.models.dit import DIT_CONFIGS, DiTConfig
+
+    for name, spec in DIT_CONFIGS.items():
+        cfg = DiTConfig(**spec)
+        assert cfg.hidden_size % cfg.num_heads == 0, name
