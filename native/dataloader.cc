@@ -245,8 +245,14 @@ bool preprocess_to(const Image& img, int size, float* out) {
   }
   std::vector<uint8_t> resized;
   resize_bilinear(img, nw, nh, &resized);
-  int left = int((nw - size) / 2.0 + 0.5);
-  int top = int((nh - size) / 2.0 + 0.5);
+  // python round() is banker's rounding; offsets are X.0 or X.5 exactly
+  auto round_half_even = [](int num) {  // num/2 rounded half-to-even
+    int q = num / 2;
+    if (num % 2 == 0) return q;
+    return (q % 2 == 0) ? q : q + 1;
+  };
+  int left = round_half_even(nw - size);
+  int top = round_half_even(nh - size);
   for (int y = 0; y < size; y++) {
     const uint8_t* row = resized.data() + (size_t(y + top) * nw + left) * 3;
     float* orow = out + size_t(y) * size * 3;
@@ -259,7 +265,8 @@ bool preprocess_to(const Image& img, int size, float* out) {
 // ------------------------------------------------------ prefetch loader
 
 struct Batch {
-  std::vector<float> data;  // [B, size, size, 3]
+  std::vector<float> data;     // [B, size, size, 3]
+  std::vector<long> indices;   // source path index per valid row
   int count = 0;
 };
 
@@ -288,6 +295,7 @@ struct Loader {
         fseek(f, 0, SEEK_END);
         long len = ftell(f);
         fseek(f, 0, SEEK_SET);
+        if (len <= 0) { fclose(f); failed++; continue; }  // ftell failure / empty
         std::vector<uint8_t> buf(len);
         size_t got = fread(buf.data(), 1, len, f);
         fclose(f);
@@ -298,6 +306,7 @@ struct Loader {
           failed++;
           continue;
         }
+        b.indices.push_back(long(start + i));
         count++;
         decoded++;
       }
@@ -330,6 +339,7 @@ int stk_preprocess_file(const char* path, int size, float* out) {
   fseek(f, 0, SEEK_END);
   long len = ftell(f);
   fseek(f, 0, SEEK_SET);
+  if (len <= 0) { fclose(f); return 0; }
   std::vector<uint8_t> buf(len);
   size_t got = fread(buf.data(), 1, len, f);
   fclose(f);
@@ -357,9 +367,12 @@ void* stk_loader_create(const char** paths, long n_paths, int size, int batch,
   return l;
 }
 
-// Pops the next ready batch into out ([batch,size,size,3] float32).
+// Pops the next ready batch into out ([batch,size,size,3] float32) and the
+// source path index of each valid row into indices (length >= batch).
 // Returns the number of valid images, or -1 when exhausted.
-int stk_loader_next(void* handle, float* out) {
+// Batches complete in worker order, NOT path order — consumers must use
+// the indices for any token<->path association.
+int stk_loader_next(void* handle, float* out, long* indices) {
   auto* l = static_cast<Loader*>(handle);
   std::unique_lock<std::mutex> lk(l->mu);
   l->cv_ready.wait(lk, [&] {
@@ -371,6 +384,8 @@ int stk_loader_next(void* handle, float* out) {
   l->cv_space.notify_one();
   lk.unlock();
   memcpy(out, b.data.data(), b.data.size() * sizeof(float));
+  if (indices)
+    for (int i = 0; i < b.count; i++) indices[i] = b.indices[i];
   return b.count;
 }
 

@@ -45,7 +45,8 @@ def _load():
             ctypes.c_int, ctypes.c_int, ctypes.c_int]
         lib.stk_loader_next.restype = ctypes.c_int
         lib.stk_loader_next.argtypes = [ctypes.c_void_p,
-                                        ctypes.POINTER(ctypes.c_float)]
+                                        ctypes.POINTER(ctypes.c_float),
+                                        ctypes.POINTER(ctypes.c_long)]
         lib.stk_loader_destroy.argtypes = [ctypes.c_void_p]
         lib.stk_loader_stats.restype = ctypes.c_long
         lib.stk_loader_stats.argtypes = [ctypes.c_void_p,
@@ -80,6 +81,10 @@ class NativeImageLoader:
 
     yields float32 [batch, size, size, 3] arrays (short batches possible at
     the tail; failed decodes are dropped and counted in .stats()).
+
+    Batches complete in WORKER order, not path order — use
+    ``next_with_indices()`` (or ``.last_indices`` after ``__next__``) for any
+    token <-> path association.
     """
 
     def __init__(self, paths, size=256, batch=16, n_threads=4, queue_cap=4):
@@ -94,16 +99,26 @@ class NativeImageLoader:
         self._h = lib.stk_loader_create(self._cpaths, len(paths), size, batch,
                                         n_threads, queue_cap)
         self._buf = np.empty((batch, size, size, 3), np.float32)
+        self._idx = np.empty((batch,), np.int64)
+        self.last_indices = None
 
     def __iter__(self):
         return self
 
     def __next__(self):
+        imgs, idx = self.next_with_indices()
+        return imgs
+
+    def next_with_indices(self):
+        """-> (images [n,size,size,3], source path indices [n]). Raises
+        StopIteration when exhausted."""
         n = self._lib.stk_loader_next(
-            self._h, self._buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+            self._h, self._buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self._idx.ctypes.data_as(ctypes.POINTER(ctypes.c_long)))
         if n < 0:
             raise StopIteration
-        return self._buf[:n].copy()
+        self.last_indices = self._idx[:n].copy()
+        return self._buf[:n].copy(), self.last_indices
 
     def stats(self):
         failed = ctypes.c_long(0)

@@ -89,13 +89,26 @@ class SelftokPipeline:
                 like = jax.eval_shape(lambda: tokenizer_init(key, self.tcfg))
                 like = jax.tree_util.tree_map(
                     lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype), like)
+                if encode_only:
+                    like = {"encoder": like["encoder"]}
                 self.params = restore_checkpoint(ckpt_path, like=like)
             else:
                 sd = load_torch_checkpoint(ckpt_path)
                 if ema_decoder and any(k.startswith("ema_state_dict") for k in sd):
                     # EMA weights under 'ema_state_dict' (SelftokPipeline.py:193)
                     sd = cv.strip_prefix(sd, "ema_state_dict.")
-                self.params = tokenizer_from_state_dict(sd, self.tcfg)
+                if encode_only:
+                    # tokenize-only serving: convert just the encoder subtree,
+                    # never materializing the 2B-param decoder
+                    from selftoktokenizer_tpu.models.encoder import (
+                        encoder_from_state_dict)
+
+                    sd = {k[len("module."):] if k.startswith("module.") else k: v
+                          for k, v in sd.items()}
+                    self.params = {"encoder": encoder_from_state_dict(
+                        cv.strip_prefix(sd, "encoder."), self.tcfg.encoder)}
+                else:
+                    self.params = tokenizer_from_state_dict(sd, self.tcfg)
         elif encode_only:
             # skip the 2B-param decoder entirely (tokenize-only serving)
             from selftoktokenizer_tpu.models.encoder import encoder_init

@@ -144,3 +144,58 @@ def test_all_dit_configs_construct():
     for name, spec in DIT_CONFIGS.items():
         cfg = DiTConfig(**spec)
         assert cfg.hidden_size % cfg.num_heads == 0, name
+
+
+def test_native_loader_index_mapping(tmp_path):
+    """Tokens must map to source paths via per-row indices: the loader yields
+    batches in worker order and drops failures (round-1 review finding)."""
+    import subprocess
+    from PIL import Image
+
+    from selftoktokenizer_tpu.data.native import (
+        NativeImageLoader, native_available)
+
+    if not native_available():
+        subprocess.run(["make", "-C", "native"], check=True, cwd=".")
+    # images whose top-left pixel encodes their path index
+    paths = []
+    for i in range(10):
+        arr = np.zeros((64, 64, 3), np.uint8)
+        arr[:, :, 0] = i * 20
+        p = str(tmp_path / f"n{i}.png")
+        Image.fromarray(arr).save(p)
+        paths.append(p)
+    loader = NativeImageLoader(paths, size=64, batch=3, n_threads=3)
+    seen = {}
+    while True:
+        try:
+            imgs, idx = loader.next_with_indices()
+        except StopIteration:
+            break
+        for row, src in zip(imgs, idx):
+            # recover the encoded index from the red channel
+            red = int(round((row[0, 0, 0] + 1) * 127.5))
+            seen[int(src)] = red
+    assert sorted(seen.keys()) == list(range(10))
+    for src, red in seen.items():
+        assert abs(red - src * 20) <= 2, (src, red)
+
+
+def test_native_crop_offset_bankers_rounding(tmp_path):
+    """Odd crop differences: C++ and PIL paths must pick the same offset."""
+    from PIL import Image
+
+    from selftoktokenizer_tpu.data.native import preprocess_file, native_available
+    from selftoktokenizer_tpu.pipeline.preprocess import preprocess_pil
+
+    assert native_available()
+    rng = np.random.default_rng(0)
+    # 130x64: resize keeps 130x64 (short side already 64), diff 66 even;
+    # use 129x64 -> nw=129, diff 65 (odd) -> offset 32.5, banker's -> 32
+    arr = rng.integers(0, 255, (64, 129, 3), dtype=np.uint8)
+    p = str(tmp_path / "odd.png")
+    Image.fromarray(arr).save(p)
+    got = preprocess_file(p, 64)
+    want = preprocess_pil(Image.open(p).convert("RGB"), 64)
+    diff = np.abs(got - want).max() * 127.5
+    assert diff <= 3.0, diff

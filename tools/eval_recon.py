@@ -8,7 +8,6 @@ over the mesh.
 """
 
 import argparse
-import glob
 import json
 import os
 import sys
@@ -45,22 +44,23 @@ def main():
                            vae_path=args.vae_path, datasize=args.data_size,
                            steps=args.steps, decode_dtype=jnp.bfloat16)
 
-    paths = sorted(
-        glob.glob(os.path.join(args.data_dir, "**", "*.*"), recursive=True))
-    paths = [x for x in paths
-             if x.lower().endswith((".jpg", ".jpeg", ".png"))]
+    from selftoktokenizer_tpu.utils.io import walk_all_files
+
+    paths = walk_all_files(args.data_dir, (".jpg", ".jpeg", ".png"))
     if args.limit:
         paths = paths[:args.limit]
-    if not paths:
-        raise SystemExit(f"no images under {args.data_dir}")
+    if len(paths) < args.batch_size:
+        raise SystemExit(
+            f"need at least --batch-size={args.batch_size} images under "
+            f"{args.data_dir}, found {len(paths)}")
 
     m_psnr, m_ssim = AverageMeter("psnr"), AverageMeter("ssim")
     timer = Timer()
     bs = args.batch_size
-    for i in range(0, len(paths) - len(paths) % bs or len(paths), bs):
+    for i in range(0, len(paths), bs):
         batch_paths = paths[i:i + bs]
         if len(batch_paths) < bs:
-            break
+            break  # one compiled batch shape; drop the short tail
         imgs = np.concatenate(
             [load_image(pth, args.data_size) for pth in batch_paths])
         ids = pipe.encoding(imgs)

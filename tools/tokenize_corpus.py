@@ -41,9 +41,10 @@ def main():
         NativeImageLoader, native_available)
 
     cfg = load_config(args.yml_path)
+    # tokenize-only workload: never materialize the 2B-param decoder
     pipe = SelftokPipeline(cfg, ckpt_path=args.pretrained,
                            vae_path=args.vae_path, datasize=args.data_size,
-                           encode_only=args.pretrained is None)
+                           encode_only=True)
 
     paths = walk_all_files(args.data_dir, (".jpg", ".jpeg", ".png"))
     if args.limit:
@@ -54,43 +55,60 @@ def main():
         raise SystemExit(f"no images under {args.data_dir}")
 
     t0 = time.time()
-    all_tokens, done = [], 0
+    # the native loader yields batches in WORKER order and drops failed
+    # decodes — carry the per-row source index so tokens map to paths
     if native_available():
         loader = NativeImageLoader(paths, size=args.data_size,
                                    batch=args.batch_size, n_threads=4)
-        batches = iter(loader)
+
+        def gen():
+            while True:
+                try:
+                    yield loader.next_with_indices()
+                except StopIteration:
+                    return
+        batches = gen()
     else:
         from selftoktokenizer_tpu.pipeline.preprocess import load_image
 
         def gen():
             for i in range(0, len(paths), args.batch_size):
-                yield np.concatenate([
-                    load_image(q, args.data_size)
-                    for q in paths[i:i + args.batch_size]])
+                chunk = paths[i:i + args.batch_size]
+                yield (np.concatenate(
+                    [load_image(q, args.data_size) for q in chunk]),
+                    np.arange(i, i + len(chunk)))
         batches = gen()
 
-    for imgs in batches:
+    all_tokens, all_idx, done = [], [], 0
+    for imgs, idx in batches:
+        if imgs.shape[0] == 0:
+            continue
         if imgs.shape[0] < args.batch_size:
             pad = args.batch_size - imgs.shape[0]
-            imgs = np.concatenate([imgs, np.zeros(
+            padded = np.concatenate([imgs, np.zeros(
                 (pad, *imgs.shape[1:]), imgs.dtype)])
-            ids = np.asarray(pipe.encoding(imgs))[:args.batch_size - pad]
+            ids = np.asarray(pipe.encoding(padded))[:imgs.shape[0]]
         else:
             ids = np.asarray(pipe.encoding(imgs))
         all_tokens.append(ids.astype(np.int32))
+        all_idx.append(np.asarray(idx))
         done += ids.shape[0]
         if done % (args.batch_size * 10) == 0:
             print(f"{done}/{len(paths)} ({done / (time.time() - t0):.1f} img/s)",
                   flush=True)
 
     tokens = np.concatenate(all_tokens) if all_tokens else np.zeros((0,), np.int32)
-    suffix = f".part{jax.process_index()}" if jax.process_count() > 1 else ""
-    np.savez_compressed(args.out + suffix if suffix else args.out,
-                        tokens=tokens, paths=np.array(paths[:len(tokens)]))
+    idx = np.concatenate(all_idx) if all_idx else np.zeros((0,), np.int64)
+    token_paths = np.array([paths[i] for i in idx])
+    out_name = args.out
+    if jax.process_count() > 1:  # numpy appends .npz — name the real file
+        base = args.out[:-4] if args.out.endswith(".npz") else args.out
+        out_name = f"{base}.part{jax.process_index()}.npz"
+    np.savez_compressed(out_name, tokens=tokens, paths=token_paths)
     print(json.dumps({
         "n": int(tokens.shape[0]),
         "images_per_s": round(tokens.shape[0] / (time.time() - t0), 2),
-        "out": args.out + suffix if suffix else args.out,
+        "out": out_name,
     }))
 
 

@@ -113,10 +113,17 @@ def main():
                         [load_image(q, args.data_size)
                          for q in paths[i:i + args.batch_size]])
                         for i in range(0, len(paths), args.batch_size))
+                yielded = 0
                 for imgs in it:
                     if imgs.shape[0] == args.batch_size:
-                        yield np.asarray(vae_encode(vae_params,
-                                                    jnp.asarray(imgs)))
+                        # keep latents on device (no host round-trip)
+                        yield vae_encode(vae_params, jnp.asarray(imgs))
+                        yielded += 1
+                if yielded == 0:
+                    raise RuntimeError(
+                        f"no full batch of {args.batch_size} decodable images "
+                        f"in {args.data_dir} ({len(paths)} files) — lower "
+                        "--batch-size or check the corpus")
         batch_iter = batches()
 
     step_fn = jax.jit(lambda s, b, r: train_step(s, opt, tcfg, tc, b, r))
@@ -141,13 +148,33 @@ def main():
                                 {"params": state.params,
                                  "vq_state": state.vq_state._asdict()})
             if args.recon_interval and (i + 1) % args.recon_interval == 0:
-                # decode the first latents through the current decoder + VAE
+                # run the CURRENT model: encode the first latent to tokens,
+                # short diffusion decode with the training params, then VAE
+                from selftoktokenizer_tpu.models import flow as _flow
+                from selftoktokenizer_tpu.models.encoder import encoder_apply
+                from selftoktokenizer_tpu.models.mmdit import mmdit_apply
                 from selftoktokenizer_tpu.models.vae import (
                     SD3LatentFormat as _F, vae_decode)
                 from selftoktokenizer_tpu.pipeline.preprocess import save_image
 
+                x0 = batch[:1]
+                ehs, _ = encoder_apply(state.params["encoder"], tcfg.encoder,
+                                       x0)
+                sched = _flow.make_schedule(8, 1.0, "uniform")
+                step_k = _flow.precompute_step_k(tcfg.make_diti(), sched)
+                mp = state.params["model"]
+
+                def _mfn(xx, tt, e, m):
+                    return mmdit_apply(mp, tcfg.decoder, xx, tt, e, mask=m,
+                                       context_see_xt=True)
+
+                lat = _flow.p_sample_loop(
+                    _mfn, sched,
+                    jax.random.normal(jax.random.fold_in(key, 9000 + i),
+                                      x0.shape), ehs,
+                    step_k=step_k, K=tcfg.k)
                 img = vae_decode(vae_params, vae_cfg,
-                                 _F.process_out(batch[:1]).astype(jnp.bfloat16))
+                                 _F.process_out(lat).astype(jnp.bfloat16))
                 img = (jnp.clip(img.astype(jnp.float32), -1, 1) + 1) / 2
                 os.makedirs(args.ckpt_dir, exist_ok=True)
                 save_image(np.asarray(img),
