@@ -238,3 +238,26 @@ def test_plain_vit_encoder_matches_reference():
     np.testing.assert_array_equal(np.asarray(got_ids), want_ids.numpy())
     np.testing.assert_allclose(np.asarray(got_q), want_q.numpy(),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_attn_mask_causal_queries_matches_reference():
+    """attn_mask=True: causal mask over query tokens, full visibility of
+    image tokens (models_ours.py:328-334)."""
+    enc, _ = build_ref_encoder()
+    # flip the flag on the built reference module (constructor arg plumbed
+    # through QformerEncoder kwargs)
+    enc.attn_mask = True
+    cfg = jax_cfg()
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, attn_mask=True)
+    x = np.random.default_rng(13).standard_normal(
+        (2, 16, LATENT, LATENT)).astype(np.float32)
+    with torch.no_grad():
+        want_q, want_ids = enc(torch.from_numpy(x), d=None)
+    params = encoder_from_state_dict(_np_sd(enc), cfg)
+    got_q, got_ids = encoder_apply(params, cfg,
+                                   jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_array_equal(np.asarray(got_ids), want_ids.numpy())
+    np.testing.assert_allclose(np.asarray(got_q), want_q.numpy(),
+                               rtol=2e-4, atol=2e-5)
