@@ -27,6 +27,25 @@ def _np(t):
     return np.asarray(t)
 
 
+def load_uncond_buffers(decoder_cfg):
+    """CFG unconditional buffers (mmdit.py:680-681, 1133-1140, 1650-1665):
+    the reference constructor takes ``uncond_y_file``/``uncond_c_file`` paths
+    and ``cfg_inference`` reads ``self.uncond_y``/``self.uncond_c`` in the
+    unconditional branch. Returns the param-tree entries for whichever files
+    exist (empty dict otherwise — the uncond branch then uses zeros/no-y)."""
+    import os
+
+    out = {}
+    for name, path in (("uncond_y", decoder_cfg.uncond_y_file),
+                       ("uncond_c", decoder_cfg.uncond_c_file)):
+        if path and os.path.exists(path):
+            import torch
+
+            t = torch.load(path, map_location="cpu", weights_only=True)
+            out[name] = _np(t.float())
+    return out
+
+
 def t_linear(sd, prefix, bias=True):
     p = {"w": np.ascontiguousarray(_np(sd[prefix + ".weight"]).T)}
     if bias and prefix + ".bias" in sd:

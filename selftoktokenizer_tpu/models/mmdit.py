@@ -64,6 +64,10 @@ class MMDiTConfig:
     qk_norm: Optional[str] = None       # None | 'rms' | 'ln'
     register_length: int = 0
     sd3_cond_pooling: Optional[str] = None
+    # CFG unconditional buffers (mmdit.py:680-681): file paths for uncond_y /
+    # uncond_c .pt tensors; loaded into params when the files exist
+    uncond_y_file: Optional[str] = None
+    uncond_c_file: Optional[str] = None
     diti_positions: bool = True
     # renderer-only
     renderer: bool = False
@@ -479,15 +483,26 @@ def mmdit_cfg_inference(params, cfg: MMDiTConfig, x, t, encoder_hidden_states,
                              gh, gw).astype(xt.dtype)
     c = timestep_embedder(params["t_embedder"], ti).astype(xt.dtype)
     if cfg.sd3_cond_pooling and encoder_hidden_states is not None:
-        # (mmdit.py:1131-1143; the uncond branch's uncond_y buffer is loaded
-        # from a file the reference does not ship — omitted)
         y = _pool_y(params, cfg, encoder_hidden_states,
                     mask if mask is not None
                     else jnp.ones((B, encoder_hidden_states.shape[1]), bool))
         if y is not None:
             c = c + y
+    if cfg.sd3_cond_pooling and encoder_hidden_states is None \
+            and "uncond_y" in params:
+        # unconditional pooled-y buffer (mmdit.py:1131-1143), loaded from
+        # cfg.uncond_y_file when the file exists (core.convert.load_uncond_buffers)
+        c = c + params["uncond_y"].astype(c.dtype)
     if encoder_hidden_states is None:
         context = jnp.zeros((B, cfg.K, cfg.hidden_size), xt.dtype)
+        if cfg.renderer and "uncond_c" in params:
+            # MMDiT_Renderer.cfg_inference splices the uncond context prefix
+            # (mmdit.py:1663-1665); plain MMDiT leaves zeros (mmdit.py:1146)
+            uc = params["uncond_c"].astype(xt.dtype)
+            if uc.ndim == 2:
+                uc = uc[None]
+            context = jax.lax.dynamic_update_slice(
+                context, jnp.broadcast_to(uc, (B,) + uc.shape[1:]), (0, 0, 0))
     else:
         context = linear(params["context_embedder"],
                          encoder_hidden_states).astype(xt.dtype)

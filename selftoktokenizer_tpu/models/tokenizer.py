@@ -73,7 +73,6 @@ def tokenizer_config_from_params(params) -> TokenizerConfig:
     enc_cfg_in = dict(p.get("encoder_config", {}))
     dec_cfg_in = dict(p.get("decoder_config", {}))
     qcfg = dict(p.get("quantizer_config", {}))
-    qcfg.pop("smart_react", None)
 
     if "Qformer" in enc and p.get("enable_enc_variable_size", False):
         enc_cfg_in["pos_embed_max_size"] = 2 * latent_size

@@ -193,12 +193,13 @@ def _calc_ema_entropy(dist, onehot_ema, ratio_d, groups=64):
     return ent1, ent2
 
 
-def vq_train_apply(p, state: VQState, x, cfg, rng=None):
+def vq_train_apply(p, state: VQState, x, cfg, rng=None, gumbel_noise=None):
     """Training forward + EMA codebook update.
 
     cfg: dict-like with decay, commitment_weight (w_commit), diversity_weight
     (w_diversity), reg, ema_entropy_ratio, threshold_ema_dead_code,
-    reset_cluster_size, codebook_size, continuous (ref quantizer_config).
+    reset_cluster_size, codebook_size, continuous, stochastic_sample_codes,
+    sample_codebook_temp (ref quantizer_config + VectorQuantize kwargs).
 
     Returns (quantize_st, ids, loss, new_state, log_dict). Gradients flow to
     ``project_in`` (and project_out) through the straight-through estimator
@@ -209,13 +210,68 @@ def vq_train_apply(p, state: VQState, x, cfg, rng=None):
     full (global) batch; under pjit the cross-device psum is inserted by XLA
     — this is the TPU-native replacement for the reference's
     ``dist.all_reduce`` calls (vector_quantize_pytorch.py:571-596).
+
+    ``continuous`` warmup (vector_quantize_pytorch.py:764-766, 865-880):
+    for the first ``continuous_steps`` (ref: 2000) forwards the quantizer is
+    bypassed entirely — the output is the un-quantized projected feature,
+    token ids are uniform-random, no commit/diversity loss, and the codebook
+    (incl. k-means init and all EMA buffers) does NOT update; only the
+    lifetime ``count`` and ``steps`` advance. Both branches stay jit-friendly
+    via ``lax.cond`` on ``state.steps``; k-means init then fires on the first
+    quantized step, as in the reference.
+
+    ``stochastic_sample_codes`` (gumbel_sample, vector_quantize_pytorch.py:
+    120-140, 563): training-time code sampling by
+    ``argmax(dist / temp + Gumbel(0,1))``; EMA statistics and the straight-
+    through output follow the *sampled* assignment, entropy losses still use
+    the raw distances. ``gumbel_noise`` injects the noise tensor for
+    conformance tests.
     """
-    decay = cfg.get("decay", 0.99)
     B, K, _ = x.shape
     C = p["embed"].shape[0]
 
     z = l2norm(project_in(p, x).astype(jnp.float32))
     flat = z.reshape(1, B * K, -1)
+
+    if not cfg.get("continuous", False):
+        return _vq_quantize_body(p, state, z, flat, x, cfg, rng, gumbel_noise)
+
+    if rng is None:
+        raise ValueError("continuous warmup requires an rng")
+    warm_steps = int(cfg.get("continuous_steps", 2000))
+
+    def _warm(_):
+        r_ids = jax.random.fold_in(rng, 7919)
+        ids = jax.random.randint(r_ids, (B, K), 0, C, dtype=jnp.int32)
+        onehot = jax.nn.one_hot(ids.reshape(-1), C, dtype=jnp.float32)
+        new_count = state.count + onehot.sum(axis=0)
+        avg = new_count / jnp.maximum(jnp.sum(new_count), 1.0)
+        perplexity = jnp.exp(-jnp.sum(avg * jnp.log(avg + 1e-10)))
+        quant_out = project_out(p, z)
+        zero = jnp.zeros((), jnp.float32)
+        new_state = state._replace(count=new_count, steps=state.steps + 1)
+        log_dict = {
+            "commit_loss": zero,
+            "perplexity": perplexity,
+            "diversity_entropy": zero,
+            "deterministic_entropy": zero,
+            "delta_embed": zero,
+            "n_reactive": jnp.zeros((), jnp.int32),
+            "cosine_sim": jnp.mean(jnp.sum(z * z, axis=-1)),
+        }
+        return quant_out, ids, zero, new_state, log_dict
+
+    def _main(_):
+        return _vq_quantize_body(p, state, z, flat, x, cfg, rng, gumbel_noise)
+
+    return jax.lax.cond(state.steps < warm_steps, _warm, _main, None)
+
+
+def _vq_quantize_body(p, state: VQState, z, flat, x, cfg, rng, gumbel_noise):
+    """The quantized (non-warmup) training forward; see `vq_train_apply`."""
+    decay = cfg.get("decay", 0.99)
+    B, K, _ = x.shape
+    C = p["embed"].shape[0]
 
     # first-batch k-means codebook seeding (the reference's mandatory
     # kmeans_init=True path, vector_quantize_pytorch.py:420-444): when the
@@ -245,7 +301,21 @@ def vq_train_apply(p, state: VQState, x, cfg, rng=None):
         prev_cluster, prev_embed_avg = state.cluster_size, state.embed_avg
     dist = jnp.einsum("hnd,cd->hnc", flat, embed,
                       precision=jax.lax.Precision.HIGHEST)
-    ids = jnp.argmax(dist, axis=-1)  # [1, B*K]
+    temp = float(cfg.get("sample_codebook_temp", 1.0))
+    if cfg.get("stochastic_sample_codes", False) and temp > 0:
+        # gumbel_sample (vector_quantize_pytorch.py:120-140): perturb the
+        # selection logits only; dist itself still feeds the entropy losses.
+        noise = gumbel_noise
+        if noise is None:
+            if rng is None:
+                raise ValueError("stochastic_sample_codes requires an rng")
+            u = jax.random.uniform(jax.random.fold_in(rng, 104729),
+                                   dist.shape, jnp.float32,
+                                   minval=1e-20, maxval=1.0)
+            noise = -jnp.log(-jnp.log(u))
+        ids = jnp.argmax(dist / temp + noise, axis=-1)  # [1, B*K]
+    else:
+        ids = jnp.argmax(dist, axis=-1)  # [1, B*K]
     onehot = jax.nn.one_hot(ids, C, dtype=jnp.float32)  # [1, B*K, C]
     quantize = embed[ids.reshape(B, K)]
 
@@ -269,8 +339,13 @@ def vq_train_apply(p, state: VQState, x, cfg, rng=None):
     # resample dead codes from batch vectors, weighted toward token positions
     # with low perplexity. jit-friendly: always gather C candidate vectors,
     # select them only where the code is dead.
-    threshold = cfg.get("threshold_ema_dead_code", 0.0)
-    reset_cluster_size = cfg.get("reset_cluster_size", threshold)
+    # yml quantizer_config spells this 'dead_code_threshold' (256-eval.yml:90,
+    # passed through construct_quantizer as threshold_ema_dead_code)
+    threshold = cfg.get("threshold_ema_dead_code",
+                        cfg.get("dead_code_threshold", 0.0)) or 0.0
+    reset_cluster_size = cfg.get("reset_cluster_size")
+    if reset_cluster_size in (None, "None"):
+        reset_cluster_size = threshold
     if threshold and rng is not None:
         # relative->absolute threshold (vector_quantize_pytorch.py:538-543):
         # scaled by global tokens per step / codebook size.

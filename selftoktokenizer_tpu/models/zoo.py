@@ -114,6 +114,8 @@ def build_decoder_config(name, K, input_size, encoder_hidden_size, in_channels,
         time_adaln=time_adaln if time_adaln else "t_emb",
         # YAML spells None as the bare string 'None' (shipped configs)
         sd3_cond_pooling=_none_str(dc.get("sd3_cond_pooling")),
+        uncond_y_file=_none_str(dc.get("uncond_y_file")),
+        uncond_c_file=_none_str(dc.get("uncond_c_file")),
         qk_norm=_none_str(dc.get("qk_norm")),
         renderer=name.endswith("Renderer") or name.startswith("RenderDiT"),
         input_size=input_size,

@@ -16,6 +16,12 @@ from jax import lax
 
 
 def linear(p, x):
+    if "w_q" in p:
+        # int8-quantized weights (decode_dtype='int8'): fused W8A8 Pallas
+        # matmul on TPU; dequantizing emulation elsewhere (ops/q8_matmul.py)
+        from selftoktokenizer_tpu.ops.q8_matmul import q8_linear
+
+        return q8_linear(p, x)
     y = x @ p["w"].astype(x.dtype)
     if "b" in p:
         y = y + p["b"].astype(x.dtype)

@@ -8,9 +8,14 @@ bf16 FLOP rate, and int8 weights halve HBM traffic. Quantization scheme:
   from the row max — one VPU pass), fused with the matmul,
 * accumulate int32, dequantize with s_x[m] * s_w[n] on the way out.
 
-Quality is workload-dependent; the pipeline exposes this as
-``decode_dtype='int8'`` and reports the deviation tooling in
-tools/bench_int8.py. Not used by default.
+Wiring: ``SelftokPipeline(..., decode_dtype='int8')`` quantizes the MMDiT
+projection weights via `quantize_params_tree`; `ops.linear.linear`
+dispatches on the presence of ``w_q``. ``tools/bench_int8.py`` reports the
+throughput and PSNR deviation vs the bf16 decode. Not used by default:
+round-1 measurements showed no speedup at MMDiT-XL decode shapes (the path
+is already MXU-bound in bf16 and Mosaic's int8 dot lowering did not reach
+the 2x rate) — kept as the serving-quantization surface and re-measured by
+the bench tool each round.
 """
 
 from __future__ import annotations
@@ -90,11 +95,62 @@ def q8_matmul(x, wq, sw, interpret=False, out_dtype=jnp.bfloat16):
 
 def q8_linear(pq, x, interpret=False):
     """Drop-in for ops.linear.linear over a quantized param dict
-    {'w_q': int8 [in,out], 's_w': [out], 'b': optional}."""
+    {'w_q': int8 [in,out], 's_w': [out], 'b': optional}.
+
+    On TPU this runs the fused Pallas kernel; on other backends (CPU tests)
+    it emulates W8A8 numerics in plain XLA (same quantize/dequantize math,
+    so outputs match the kernel up to accumulation order)."""
     shape = x.shape
-    y = q8_matmul(x.reshape(-1, shape[-1]), pq["w_q"], pq["s_w"],
-                  interpret=interpret, out_dtype=x.dtype)
+    xf = x.reshape(-1, shape[-1])
+    if jax.devices()[0].platform == "tpu":
+        y = q8_matmul(xf, pq["w_q"], pq["s_w"],
+                      interpret=interpret, out_dtype=x.dtype)
+    else:
+        xr = xf.astype(jnp.float32)
+        sx = jnp.maximum(jnp.max(jnp.abs(xr), axis=1, keepdims=True) / 127.0,
+                         1e-8)
+        xq = jnp.clip(jnp.round(xr / sx), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(xq, pq["w_q"], (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        y = (acc.astype(jnp.float32) * sx * pq["s_w"][None, :]).astype(x.dtype)
     y = y.reshape(*shape[:-1], -1)
     if "b" in pq:
         y = y + pq["b"].astype(y.dtype)
     return y
+
+
+# linear param dicts eligible for int8 serving quantization: the decode-path
+# hot projections (joint-block attention + MLP, context embed, final layer)
+_QUANT_KEYS = ("qkv", "proj", "fc1", "fc2", "context_embedder", "linear")
+
+
+def quantize_params_tree(params, min_size=2 ** 12):
+    """Quantize every eligible linear in an MMDiT param tree to int8.
+
+    Walks the (nested dict) tree; a node {'w': [.., in, out], 'b': ...} whose
+    key is in `_QUANT_KEYS` and whose weight has >= min_size elements becomes
+    {'w_q': int8, 's_w': fp32, 'b': ...}. Stacked lax.scan weights
+    [depth, in, out] quantize per (depth, out) channel — slicing inside the
+    scan yields the 2-D [in, out] layout `q8_linear` expects."""
+
+    def quant_leaf_dict(d):
+        w = np.asarray(d["w"], np.float32)
+        s = np.maximum(np.max(np.abs(w), axis=-2) / 127.0, 1e-8)
+        q = np.clip(np.round(w / s[..., None, :]), -127, 127).astype(np.int8)
+        out = {"w_q": jnp.asarray(q), "s_w": jnp.asarray(s, np.float32)}
+        if "b" in d:
+            out["b"] = d["b"]
+        return out
+
+    def walk(node, key=None):
+        if isinstance(node, dict):
+            if key in _QUANT_KEYS and "w" in node and \
+                    hasattr(node["w"], "size") and node["w"].size >= min_size \
+                    and node["w"].ndim >= 2:
+                return quant_leaf_dict(node)
+            return {k: walk(v, k) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v) for v in node)
+        return node
+
+    return walk(params)

@@ -63,3 +63,36 @@ def shard_params(mesh: Mesh, params):
     """device_put the param tree with TP shardings."""
     sh = mmdit_tp_shardings(mesh, params)
     return jax.tree_util.tree_map(jax.device_put, params, sh)
+
+
+def tp_fsdp_shardings(mesh: Mesh, params):
+    """Combined 3D layout: megatron TP on the ``tensor`` axis where a
+    projection qualifies, plus ZeRO-style sharding of the largest remaining
+    divisible dim on ``fsdp`` (replicated-on-fsdp for TP-ineligible leaves is
+    delegated to mesh.fsdp_param_spec). Used by the multi-chip dryrun so a
+    train step exercises data x fsdp x tensor simultaneously."""
+    import numpy as np
+
+    from selftoktokenizer_tpu.parallel.mesh import fsdp_param_spec
+
+    tp = mesh.shape["tensor"]
+    fs = mesh.shape["fsdp"]
+
+    def one(path, leaf):
+        spec = list(_spec_for(path, leaf))
+        spec += [None] * (leaf.ndim - len(spec))
+        if "tensor" in spec and leaf.shape[spec.index("tensor")] % tp != 0:
+            spec = [None] * leaf.ndim
+        if "tensor" not in spec:
+            spec = list(fsdp_param_spec(leaf))
+        elif int(np.prod(leaf.shape)) >= 2 ** 14:
+            free = [d for d, a in enumerate(spec) if a is None]
+            if free:
+                dim = max(free, key=lambda d: leaf.shape[d])
+                if leaf.shape[dim] % fs == 0:
+                    spec[dim] = "fsdp"
+        if "fsdp" in spec and leaf.shape[spec.index("fsdp")] % fs != 0:
+            spec[spec.index("fsdp")] = None
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map_with_path(one, params)

@@ -67,6 +67,12 @@ class SelftokPipeline:
         self.cfg = cfg
         self.datasize = datasize
         self.cfg_scale = cfg_scale
+        # decode_dtype='int8': bf16 activations + W8A8-quantized MMDiT
+        # projections (ops/q8_matmul.py); a serving-quantization mode with a
+        # measured PSNR deviation (tools/bench_int8.py)
+        self.int8_decode = decode_dtype == "int8"
+        if self.int8_decode:
+            decode_dtype = jnp.bfloat16
         self.decode_dtype = decode_dtype
         # 'highest' = true fp32 trunk (reference-faithful token ids; 6-pass
         # bf16 on MXU); 'high' trades ~1.5x encode speed for 3-pass precision
@@ -137,6 +143,10 @@ class SelftokPipeline:
         self.parameterization = self.tcfg.diffusion.get(
             "parameterization", "velocity")
 
+        if "model" in self.params:
+            self.params["model"].update(
+                cv.load_uncond_buffers(self.tcfg.decoder))
+
         # hoist the per-position context adaLN table out of the decode loop
         # (computed in fp32 before any decode-dtype cast)
         self._ctx_mods = None
@@ -150,6 +160,10 @@ class SelftokPipeline:
                 self.params["model"]["t_embedder"]["mlp0"]["w"].dtype != decode_dtype:
             self.params["model"] = jax.tree_util.tree_map(
                 lambda a: jnp.asarray(a, decode_dtype), self.params["model"])
+        if self.int8_decode and "model" in self.params:
+            from selftoktokenizer_tpu.ops.q8_matmul import quantize_params_tree
+
+            self.params["model"] = quantize_params_tree(self.params["model"])
 
         # params are passed as explicit jit arguments (closures would embed
         # them as HLO constants — hundreds of MB through remote compile)
@@ -225,7 +239,14 @@ class SelftokPipeline:
         ehs = outs_q * mask0[..., None].astype(outs_q.dtype)
 
         dd = self.decode_dtype
-        mp = jax.tree_util.tree_map(lambda a: a.astype(dd), params["model"])
+        # cast fp32 leaves to the decode dtype; int8 weights and their fp32
+        # dequant scales (s_w) pass through untouched
+        def _cast(path, a):
+            if a.dtype != jnp.float32 or \
+                    getattr(path[-1], "key", None) == "s_w":
+                return a
+            return a.astype(dd)
+        mp = jax.tree_util.tree_map_with_path(_cast, params["model"])
         mods = None if self._ctx_mods is None else ctx_mods.astype(dd)
 
         def model_fn(x, t, e, mask):

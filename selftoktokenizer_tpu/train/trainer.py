@@ -92,6 +92,41 @@ def make_train_state(params, tcfg: TokenizerConfig, tc: TrainConfig):
         ema_params=ema, step=jnp.zeros((), jnp.int32)), opt
 
 
+def save_train_state(path, state: TokenizerTrainState):
+    """Persist the FULL train state — params, optimizer moments, VQ EMA
+    buffers, EMA params, step — so training resumes exactly (the reference's
+    resume_from_steps config surface, 256-eval.yml:6-27)."""
+    from selftoktokenizer_tpu.core.checkpoint import save_checkpoint
+
+    tree = {"params": state.params, "opt_state": state.opt_state,
+            "vq_state": state.vq_state._asdict(), "step": state.step}
+    if state.ema_params is not None:
+        tree["ema_params"] = state.ema_params
+    save_checkpoint(path, tree)
+
+
+def restore_train_state(path, like: TokenizerTrainState,
+                        exclude_opt=False) -> TokenizerTrainState:
+    """Restore a `save_train_state` checkpoint into the structure of ``like``
+    (a freshly built state). ``exclude_opt`` drops the saved optimizer
+    moments and keeps the fresh ones — the reference's ``resume_exclude_opt``
+    knob (256-eval.yml:24)."""
+    from selftoktokenizer_tpu.core.checkpoint import restore_checkpoint
+
+    target = {"params": like.params, "opt_state": like.opt_state,
+              "vq_state": like.vq_state._asdict(), "step": like.step}
+    if like.ema_params is not None:
+        target["ema_params"] = like.ema_params
+    tree = restore_checkpoint(path, like=target)
+    return TokenizerTrainState(
+        params=tree["params"],
+        opt_state=like.opt_state if exclude_opt else tree["opt_state"],
+        vq_state=vq_mod.VQState(**tree["vq_state"]),
+        ema_params=tree.get("ema_params"),
+        step=jnp.asarray(tree["step"], jnp.int32),
+    )
+
+
 def train_step(state: TokenizerTrainState, opt, tcfg: TokenizerConfig,
                tc: TrainConfig, batch, rng):
     """One optimizer step. batch: NHWC latents [B,h,w,C] (global batch,

@@ -1,0 +1,75 @@
+"""Multi-host (multi-controller) runtime: two real OS processes form a
+jax.distributed cluster over CPU devices, build ONE global mesh, and run a
+jitted global reduction — the TPU-native stand-in for the reference's
+torch.distributed NCCL process group (SURVEY §2.5 backend row).
+
+Exercises parallel/distributed.init (VERDICT round-1: "exercised by
+nothing") end-to-end: coordinator bring-up, process_count/device_count
+agreement, make_array_from_process_local_data sharding, and a cross-process
+psum through jit.
+"""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # axon sitecustomize override
+
+pid = int(sys.argv[1])
+nproc = int(sys.argv[2])
+port = sys.argv[3]
+
+from selftoktokenizer_tpu.parallel import distributed as dist
+
+dist.init(coordinator_address=f"127.0.0.1:{port}", num_processes=nproc,
+          process_id=pid)
+
+import numpy as np
+import jax.numpy as jnp
+from selftoktokenizer_tpu.parallel.mesh import make_mesh
+
+assert jax.process_count() == nproc, jax.process_count()
+assert jax.process_index() == pid
+n_local = len(jax.local_devices())
+assert jax.device_count() == nproc * n_local
+
+mesh = make_mesh(data=jax.device_count())
+# per-host shard: host i contributes rows valued i*100 + arange
+local = (np.arange(2 * n_local * 4, dtype=np.float32).reshape(-1, 4)
+         + 100.0 * pid)
+g = dist.global_batch(mesh, local)
+assert g.shape == (2 * n_local * nproc, 4), g.shape
+
+with jax.set_mesh(mesh):
+    total = jax.jit(lambda a: jnp.sum(a))(g)
+want = sum(float(np.sum(np.arange(2 * n_local * 4) + 100.0 * p))
+           for p in range(nproc))
+assert abs(float(total) - want) < 1e-3, (float(total), want)
+
+lo, hi = dist.process_slice(10)
+assert (lo, hi) == ((0, 5) if pid == 0 else (5, 10)), (lo, hi)
+print(f"proc {pid}: ok global_devices={jax.device_count()} sum={float(total)}")
+"""
+
+
+def test_two_process_jax_distributed(tmp_path):
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=2")
+    port = "29731"
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(i), "2", port],
+        env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True) for i in range(2)]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for i, (p, (out, err)) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{err[-3000:]}"
+        assert f"proc {i}: ok global_devices=4" in out, out

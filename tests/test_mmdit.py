@@ -16,7 +16,8 @@ ENC_HIDDEN = 8
 LATENT = 8  # 8x8 latents -> 16 patches at p=2
 
 
-def build_ref_mmdit(renderer=False, time_adaln="pos_emb", seed=0):
+def build_ref_mmdit(renderer=False, time_adaln="pos_emb", seed=0,
+                    sd3_cond_pooling=None):
     ref = get_ref()
     torch.manual_seed(seed)
     diti = ref.diti_utils.DiTi_cont(1000, K, "500,1000", "4,2")
@@ -30,7 +31,7 @@ def build_ref_mmdit(renderer=False, time_adaln="pos_emb", seed=0):
             "params": {"in_features": ENC_HIDDEN, "out_features": HIDDEN}},
         device="cpu", dtype=torch.float,
         K=K, input_size=LATENT, in_channels=16,
-        sd3_cond_pooling=None, class_dropout_prob=0.1,
+        sd3_cond_pooling=sd3_cond_pooling, class_dropout_prob=0.1,
         train_filter=None, freeze_filter=[], init_method=None,
         # use_checkpoint=False is bit-rotted in the reference (passes
         # use_reentrant into _forward, mmdit.py:606); keep the default True
@@ -122,6 +123,31 @@ def test_mmdit_t_emb_mode():
     np.testing.assert_allclose(got, want.numpy(), rtol=2e-3, atol=2e-4)
 
 
+def test_mmdit_larger_grid_crop_matches_reference():
+    """512px-path pin: decoding latents at 2x the base grid (the 512px/
+    1024-patch configuration relative to this tiny model) — exercises the
+    full-size cropped_pos_embed slice (mmdit.py:992-1101 with hw > base)."""
+    m = build_ref_mmdit(seed=6)
+    cfg = jax_cfg()
+    params = mmdit_from_state_dict(_np_sd(m), cfg)
+    rng = np.random.default_rng(6)
+    big = 2 * LATENT  # 16x16 latents -> 64 patches, pos-embed grid fully used
+    x = rng.standard_normal((1, 16, big, big)).astype(np.float32)
+    ehs = rng.standard_normal((1, K, ENC_HIDDEN)).astype(np.float32)
+    t = np.array([0.62], dtype=np.float32)
+    mask = np.ones((1, K), dtype=np.float32)
+    with torch.no_grad():
+        want, _ = m(torch.from_numpy(x), torch.from_numpy(t),
+                    encoder_hidden_states=torch.from_numpy(ehs),
+                    mask=torch.from_numpy(mask), context_see_xt=True)
+    got = mmdit_apply(params, cfg, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                      jnp.asarray(t), jnp.asarray(ehs),
+                      mask=jnp.asarray(mask, bool), context_see_xt=True)
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    assert got.shape == want.numpy().shape == (1, 16, big, big)
+    np.testing.assert_allclose(got, want.numpy(), rtol=2e-3, atol=2e-4)
+
+
 def test_cfg_inference_matches_reference():
     m = build_ref_mmdit(seed=3)
     cfg = jax_cfg()
@@ -140,6 +166,76 @@ def test_cfg_inference_matches_reference():
                               mask=jnp.asarray(uncond_mask, bool))
     got = np.asarray(got).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(got, want.numpy(), rtol=2e-3, atol=2e-4)
+
+
+def test_cfg_inference_uncond_buffers_match_reference(tmp_path):
+    """uncond_y / uncond_c CFG buffers (mmdit.py:680-681, 1133-1140,
+    1650-1665): synthetic buffers injected into the reference module vs our
+    file-loading path. Plain MMDiT adds uncond_y only (context stays zeros,
+    :1146); the renderer variant additionally splices uncond_c into the
+    context prefix."""
+    import dataclasses
+
+    rng = np.random.default_rng(7)
+    uy = rng.standard_normal((1, HIDDEN)).astype(np.float32)
+    uc = rng.standard_normal((1, K - 2, HIDDEN)).astype(np.float32)
+    torch.save(torch.from_numpy(uy), tmp_path / "uncond_y.pt")
+    torch.save(torch.from_numpy(uc), tmp_path / "uncond_c.pt")
+
+    x = rng.standard_normal((2, 16, LATENT, LATENT)).astype(np.float32)
+    t = np.array([0.5, 0.9], dtype=np.float32)
+    uncond_mask = np.zeros((2, K), dtype=np.int32)
+    x_mask = np.ones((2, (LATENT // 2) ** 2), dtype=np.float32)
+
+    for renderer, pooling in ((False, "last"), (True, "mean")):
+        m = build_ref_mmdit(renderer=renderer, seed=4,
+                            sd3_cond_pooling=pooling)
+        # the reference never torch.load()s the files itself — the buffers
+        # arrive by external assignment; inject them the same way
+        m.uncond_y = torch.from_numpy(uy)
+        m.uncond_c = torch.from_numpy(uc)
+        if renderer:
+            # MMDiT_Renderer.cfg_inference is bit-rotted: it reads
+            # self.x_embedder / pos_embed which the renderer never creates
+            # (mask-token input instead). Shim both so the uncond_c branch
+            # (mmdit.py:1663-1665) can execute at all.
+            from tests.ref_loader import get_ref as _gr
+            torch.manual_seed(40)
+            m.x_embedder = _gr().mmdit.PatchEmbed(
+                None, 2, 16, HIDDEN, bias=True, strict_img_size=False)
+            m.register_buffer("pos_embed", torch.randn(
+                1, LATENT * LATENT, HIDDEN) * 0.02)
+        with torch.no_grad():
+            want = m.cfg_inference(
+                torch.from_numpy(x), torch.from_numpy(t), None, None,
+                x_mask=torch.from_numpy(x_mask),
+                mask=torch.from_numpy(uncond_mask), shape=K)
+
+        from selftoktokenizer_tpu.core import convert as cv
+
+        cfg = dataclasses.replace(
+            jax_cfg(renderer=renderer), sd3_cond_pooling=pooling,
+            uncond_y_file=str(tmp_path / "uncond_y.pt"),
+            uncond_c_file=str(tmp_path / "uncond_c.pt"))
+        params = mmdit_from_state_dict(_np_sd(m), cfg)
+        if renderer:  # mirror the torch-side shim (see above)
+            params["x_embedder"] = cv.t_patch_embed(_np_sd(m), "x_embedder")
+            params["pos_embed"] = jnp.asarray(m.pos_embed.numpy())
+        bufs = cv.load_uncond_buffers(cfg)
+        assert set(bufs) == {"uncond_y", "uncond_c"}
+        params.update({k: jnp.asarray(v) for k, v in bufs.items()})
+        got = mmdit_cfg_inference(
+            params, cfg, jnp.asarray(x.transpose(0, 2, 3, 1)),
+            jnp.asarray(t), None, mask=jnp.asarray(uncond_mask, bool))
+        got = np.asarray(got).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(got, want.numpy(), rtol=2e-3, atol=2e-4)
+
+        # the buffers must actually matter (branch is exercised)
+        params.pop("uncond_y"), params.pop("uncond_c")
+        base = mmdit_cfg_inference(
+            params, cfg, jnp.asarray(x.transpose(0, 2, 3, 1)),
+            jnp.asarray(t), None, mask=jnp.asarray(uncond_mask, bool))
+        assert np.abs(np.asarray(base).transpose(0, 3, 1, 2) - got).max() > 1e-4
 
 
 def test_renderer_matches_reference():

@@ -94,3 +94,69 @@ def test_q8_linear_shapes():
     x = jnp.asarray(rng.standard_normal((2, 10, 128)).astype(np.float32))
     y = q8_linear(pq, x, interpret=True)
     assert y.shape == (2, 10, 384)
+
+
+def test_quantize_params_tree_and_dispatch():
+    """decode_dtype='int8' wiring: tree quantization hits exactly the
+    eligible projections, and ops.linear.linear dispatches on w_q with
+    ~8-bit relative accuracy."""
+    from selftoktokenizer_tpu.ops.linear import linear
+    from selftoktokenizer_tpu.ops.q8_matmul import quantize_params_tree
+
+    rng = np.random.default_rng(9)
+    tree = {
+        "blocks": {"qkv": {"w": jnp.asarray(rng.standard_normal(
+            (2, 96, 288)).astype(np.float32) * 0.05),
+            "b": jnp.zeros((2, 288), jnp.float32)}},
+        "context_embedder": {"w": jnp.asarray(rng.standard_normal(
+            (96, 128)).astype(np.float32) * 0.05)},
+        "adaLN": {"w": jnp.asarray(rng.standard_normal(
+            (96, 128)).astype(np.float32))},       # key not eligible
+        "t_embedder": {"mlp0": {"w": jnp.zeros((4, 4), jnp.float32)}},  # small
+    }
+    q = quantize_params_tree(tree, min_size=4096)
+    assert "w_q" in q["blocks"]["qkv"] and q["blocks"]["qkv"]["w_q"].dtype == jnp.int8
+    assert q["blocks"]["qkv"]["w_q"].shape == (2, 96, 288)
+    assert q["blocks"]["qkv"]["s_w"].shape == (2, 288)
+    assert "w_q" in q["context_embedder"]
+    assert "w" in q["adaLN"] and "w_q" not in q["adaLN"]
+    assert "w" in q["t_embedder"]["mlp0"]
+
+    x = jnp.asarray(rng.standard_normal((32, 96)).astype(np.float32))
+    # sliced stacked layer, as inside lax.scan
+    layer = jax.tree_util.tree_map(lambda a: a[0], q["blocks"]["qkv"])
+    got = np.asarray(linear(layer, x))
+    want = np.asarray(x @ tree["blocks"]["qkv"]["w"][0]
+                      + tree["blocks"]["qkv"]["b"][0])
+    rel = np.abs(got - want).mean() / np.abs(want).mean()
+    assert rel < 0.02, rel
+
+
+def test_pipeline_int8_decode_smoke(tmp_path):
+    """SelftokPipeline(decode_dtype='int8') end-to-end on the tiny config:
+    quantized decode runs and stays close to the bf16 decode."""
+    import os
+
+    from selftoktokenizer_tpu.core.config import load_config
+    from selftoktokenizer_tpu.pipeline import SelftokPipeline
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config(os.path.join(repo, "tests", "data", "tiny-eval.yml"))
+    ids = jnp.asarray(np.random.default_rng(3).integers(0, 64, (2, 8)),
+                      jnp.int32)
+    pipe8 = SelftokPipeline(cfg, datasize=64, steps=2, decode_dtype="int8")
+    assert pipe8.int8_decode and pipe8.decode_dtype == jnp.bfloat16
+    flat = jax.tree_util.tree_leaves_with_path(pipe8.params["model"])
+    assert any(getattr(p[-1], "key", None) == "w_q" for p, _ in flat), \
+        "no projection was quantized"
+    out8 = np.asarray(pipe8.decoding(ids))
+    assert np.all(np.isfinite(out8)) and out8.min() >= 0 and out8.max() <= 1
+
+    pipef = SelftokPipeline(cfg, datasize=64, steps=2,
+                            decode_dtype=jnp.bfloat16)
+    outf = np.asarray(pipef.decoding(ids))
+    # int8 is a deviation mode, not bit-exact: bounded image-space error.
+    # (tiny RANDOM-weight models amplify quantization error through the
+    # decode loop far more than trained ones — this only pins "same image,
+    # bounded drift", the real deviation number comes from tools/bench_int8)
+    assert np.abs(out8 - outf).mean() < 0.2

@@ -53,6 +53,24 @@ def test_tokenize_corpus_tool(img_dir, tmp_path):
     assert data["tokens"].dtype == np.int32
 
 
+def test_train_tool_resume(tmp_path):
+    """CLI kill-and-resume: 4 steps straight == 2 steps + resume-from 2."""
+    common = ["tools/train_tokenizer.py", "--yml-path", TINY_YML,
+              "--data_size", "64", "--batch-size", "2", "--synthetic",
+              "--log-interval", "1", "--ema-decay", "0.9"]
+    out_a = _run(common + ["--steps", "4", "--ckpt-interval", "10",
+                           "--ckpt-dir", str(tmp_path / "a")], timeout=600)
+    loss_a = json.loads(out_a.strip().splitlines()[-1])["final_loss"]
+
+    _run(common + ["--steps", "2", "--ckpt-interval", "2",
+                   "--ckpt-dir", str(tmp_path / "b")], timeout=600)
+    out_b = _run(common + ["--steps", "4", "--ckpt-interval", "10",
+                           "--ckpt-dir", str(tmp_path / "b"),
+                           "--resume-from-steps", "2"], timeout=600)
+    loss_b = json.loads(out_b.strip().splitlines()[-1])["final_loss"]
+    np.testing.assert_allclose(loss_b, loss_a, rtol=1e-5)
+
+
 def test_smoke_tool(tmp_path):
     out_dir = str(tmp_path / "smoke")
     _run(["smoke.py", "--yml-path", TINY_YML, "--data_size", "64",

@@ -208,3 +208,238 @@ def test_gradient_checkpointing_same_grads(setup):
                     jax.tree_util.tree_leaves(g_remat)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_trainer_kill_and_resume(setup, tmp_path):
+    """Full-TrainState checkpoint/restore (resume_from_steps semantics):
+    a run killed at step 3 and resumed must produce the same trajectory as
+    an uninterrupted 6-step run — params, opt moments, VQ EMA state, step."""
+    from selftoktokenizer_tpu.train.trainer import (
+        restore_train_state, save_train_state)
+
+    tcfg, params = setup
+    tc = TrainConfig(dit_lr=1e-4, token_lr=2e-4, ema_decay=0.9)
+    key = jax.random.PRNGKey(42)
+    batches = [jax.random.normal(jax.random.fold_in(key, 100 + i),
+                                 (2, 8, 8, 16)) for i in range(6)]
+
+    def run(state, opt, lo, hi, save_at=None, losses=None):
+        for i in range(lo, hi):
+            state, logs = train_step(state, opt, tcfg, tc, batches[i],
+                                     jax.random.fold_in(key, i))
+            if losses is not None:
+                losses.append(float(logs["loss"]))
+            if save_at is not None and i + 1 == save_at:
+                save_train_state(str(tmp_path / f"step_{i + 1}"), state)
+        return state
+
+    # uninterrupted 6-step run
+    ref_losses = []
+    s_full, opt = make_train_state(params, tcfg, tc)
+    s_full = run(s_full, opt, 0, 6, losses=ref_losses)
+
+    # killed at 3, resumed into a FRESH state skeleton
+    s_a, opt_a = make_train_state(params, tcfg, tc)
+    run(s_a, opt_a, 0, 3, save_at=3)
+    fresh, opt_b = make_train_state(
+        jax.tree_util.tree_map(jnp.zeros_like, params), tcfg, tc)
+    s_b = restore_train_state(str(tmp_path / "step_3"), fresh)
+    assert int(s_b.step) == 3
+    params_at_restore = jax.tree_util.tree_map(np.asarray, s_b.params)
+    res_losses = []
+    s_b = run(s_b, opt_b, 3, 6, losses=res_losses)
+
+    np.testing.assert_allclose(res_losses, ref_losses[3:], rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s_full.params),
+                    jax.tree_util.tree_leaves(s_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(s_full.ema_params),
+                    jax.tree_util.tree_leaves(s_b.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(s_full.vq_state.embed),
+                               np.asarray(s_b.vq_state.embed), rtol=1e-6)
+
+    # resume_exclude_opt: optimizer moments reset, params/step kept
+    s_c = restore_train_state(str(tmp_path / "step_3"), fresh,
+                              exclude_opt=True)
+    assert int(s_c.step) == 3
+    mu_leaves = jax.tree_util.tree_leaves(s_c.opt_state)
+    fresh_leaves = jax.tree_util.tree_leaves(fresh.opt_state)
+    assert all(np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(mu_leaves, fresh_leaves))
+    for a, b in zip(jax.tree_util.tree_leaves(params_at_restore),
+                    jax.tree_util.tree_leaves(s_c.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def _ref_vq(**overrides):
+    """Torch VectorQuantize with the SURVEY §2.8 calc_entropy defect shimmed
+    and a single-process gloo group (the training path calls
+    get_world_size())."""
+    import torch.distributed as tdist
+    from tests.ref_loader import get_ref
+
+    if not tdist.is_initialized():
+        tdist.init_process_group(
+            "gloo", init_method="tcp://127.0.0.1:29511", rank=0, world_size=1)
+    ref = get_ref()
+    orig = ref.vq.calc_entropy
+    if not getattr(orig, "_shimmed", False):
+        def shim(x, min_ref=None, _orig=orig):
+            return _orig(x)
+        shim._shimmed = True
+        ref.vq.calc_entropy = shim
+    kw = dict(dim=16, output_dim=12, codebook_dim=8, codebook_size=128,
+              ema_update=True, decay=0.9, kmeans_init=False, kmeans_iters=3,
+              threshold_ema_dead_code=0.0, use_cosine_sim=True,
+              commitment_weight=1.0, diversity_weight=1.0, smart_re_K=64,
+              ema_entropy_ratio=0.8, reg=[0.1, 0.3], continuous=False)
+    kw.update(overrides)
+    vqt = ref.vq.VectorQuantize(**kw)
+    vqt.train()
+    return ref, vqt
+
+
+def _vq_params_from_torch(vqt):
+    return {
+        "project_in": {"w": jnp.asarray(vqt.project_in.weight.detach().numpy().T),
+                       "b": jnp.asarray(vqt.project_in.bias.detach().numpy())},
+        "project_out": {"w": jnp.asarray(vqt.project_out.weight.detach().numpy().T),
+                        "b": jnp.asarray(vqt.project_out.bias.detach().numpy())},
+        "embed": jnp.asarray(vqt._codebook.embed.detach().numpy()[0].copy()),
+    }
+
+
+def test_vq_continuous_warmup_reference_semantics():
+    """`continuous` warmup (vector_quantize_pytorch.py:764-766, 865-880):
+    first-2000-forwards quantization bypass, then the flip to quantized mode
+    at the same step boundary as the reference."""
+    import torch
+
+    torch.manual_seed(3)
+    C, D, B, K = 128, 8, 4, 64
+    ref, vqt = _ref_vq(continuous=True)
+    params_j = _vq_params_from_torch(vqt)
+    embed0 = np.asarray(params_j["embed"]).copy()
+    cluster0 = vqt._codebook.cluster_size.detach().numpy()[0].copy()
+    avg0 = vqt._codebook.embed_avg.detach().numpy()[0].copy()
+    tpc0 = vqt._codebook.timestep_p_over_c.detach().numpy()[0].copy()
+
+    x = torch.randn(B, K, 16)
+    with torch.no_grad():
+        q_t, ids_t, loss_t, logs_t = vqt(x)
+    # warm semantics in the reference: zero loss, untouched codebook buffers
+    assert float(loss_t) == 0.0
+    np.testing.assert_array_equal(
+        vqt._codebook.embed.detach().numpy()[0], embed0)
+    np.testing.assert_array_equal(
+        vqt._codebook.cluster_size.detach().numpy()[0], cluster0)
+    assert float(vqt.steps) == 1.0
+
+    st = vq_mod.VQState(
+        embed=jnp.asarray(embed0), cluster_size=jnp.asarray(cluster0),
+        embed_avg=jnp.asarray(avg0), timestep_p_over_c=jnp.asarray(tpc0),
+        count=jnp.zeros((C,)), steps=jnp.zeros((), jnp.int32),
+        initted=jnp.ones((), jnp.bool_), tpc_initted=jnp.zeros((), jnp.bool_))
+    cfgq = {"decay": 0.9, "w_commit": 1.0, "w_diversity": 1.0,
+            "smart_react": True, "ema_entropy_ratio": 0.8, "reg": [0.1, 0.3],
+            "threshold_ema_dead_code": 0.0, "continuous": True}
+    q_j, ids_j, loss_j, st1, logs_j = vq_mod.vq_train_apply(
+        params_j, st, jnp.asarray(x.numpy()), cfgq,
+        rng=jax.random.PRNGKey(5))
+
+    # bypass output: un-quantized projected feature, identical to reference
+    np.testing.assert_allclose(np.asarray(q_j), q_t.numpy(), rtol=1e-5,
+                               atol=1e-6)
+    assert float(loss_j) == 0.0
+    np.testing.assert_array_equal(np.asarray(st1.embed), embed0)
+    np.testing.assert_array_equal(np.asarray(st1.cluster_size), cluster0)
+    np.testing.assert_array_equal(np.asarray(st1.embed_avg), avg0)
+    np.testing.assert_array_equal(np.asarray(st1.timestep_p_over_c), tpc0)
+    assert int(st1.steps) == 1 and float(jnp.sum(st1.count)) == B * K
+    assert float(logs_j["commit_loss"]) == 0.0
+
+    # --- the flip: reference quantizes on the forward where steps hits 2001
+    vqt.steps.data.fill_(2000.0)
+    torch.manual_seed(7)
+    x2 = torch.randn(B, K, 16)
+    with torch.no_grad():
+        q_t2, ids_t2, loss_t2, logs_t2 = vqt(x2)
+    assert float(vqt.continuous) == 0.0  # flipped out of warmup
+
+    st_flip = st1._replace(steps=jnp.asarray(2000, jnp.int32))
+    q_j2, ids_j2, loss_j2, st2, logs_j2 = vq_mod.vq_train_apply(
+        params_j, st_flip, jnp.asarray(x2.numpy()), cfgq,
+        rng=jax.random.PRNGKey(6))
+    # post-warmup both run the full quantized path (no RNG in it: kmeans off,
+    # dead-code off) — golden against the reference EMA update
+    np.testing.assert_array_equal(np.asarray(ids_j2), ids_t2.numpy())
+    np.testing.assert_allclose(
+        np.asarray(st2.cluster_size),
+        vqt._codebook.cluster_size.detach().numpy()[0], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(st2.embed), vqt._codebook.embed.detach().numpy()[0],
+        rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(q_j2), q_t2.numpy(), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(float(loss_j2), float(loss_t2), rtol=1e-3,
+                               atol=1e-4)
+
+
+def test_vq_gumbel_stochastic_reference_semantics(monkeypatch):
+    """stochastic_sample_codes + sample_codebook_temp (gumbel_sample,
+    vector_quantize_pytorch.py:120-140, 563): same injected Gumbel noise →
+    identical sampled ids, EMA trajectory, and losses."""
+    import torch
+
+    torch.manual_seed(11)
+    C, D, B, K = 128, 8, 4, 64
+    ref, vqt = _ref_vq(stochastic_sample_codes=True, sample_codebook_temp=0.7)
+    params_j = _vq_params_from_torch(vqt)
+    embed0 = np.asarray(params_j["embed"]).copy()
+    cluster0 = vqt._codebook.cluster_size.detach().numpy()[0].copy()
+    avg0 = vqt._codebook.embed_avg.detach().numpy()[0].copy()
+
+    noise = np.random.default_rng(0).gumbel(size=(1, B * K, C)).astype(np.float32)
+    monkeypatch.setattr(ref.vq, "gumbel_noise",
+                        lambda t: torch.from_numpy(noise).to(t.dtype))
+
+    x = torch.randn(B, K, 16)
+    with torch.no_grad():
+        q_t, ids_t, loss_t, logs_t = vqt(x)
+
+    st = vq_mod.VQState(
+        embed=jnp.asarray(embed0), cluster_size=jnp.asarray(cluster0),
+        embed_avg=jnp.asarray(avg0),
+        timestep_p_over_c=jnp.full((K, C), 1.0 / C),
+        count=jnp.zeros((C,)), steps=jnp.zeros((), jnp.int32),
+        initted=jnp.ones((), jnp.bool_), tpc_initted=jnp.zeros((), jnp.bool_))
+    cfgq = {"decay": 0.9, "w_commit": 1.0, "w_diversity": 1.0,
+            "smart_react": True, "ema_entropy_ratio": 0.8, "reg": [0.1, 0.3],
+            "threshold_ema_dead_code": 0.0,
+            "stochastic_sample_codes": True, "sample_codebook_temp": 0.7}
+    q_j, ids_j, loss_j, st1, logs_j = vq_mod.vq_train_apply(
+        params_j, st, jnp.asarray(x.numpy()), cfgq,
+        gumbel_noise=jnp.asarray(noise))
+
+    np.testing.assert_array_equal(np.asarray(ids_j), ids_t.numpy())
+    # the noise must actually flip some assignments vs plain argmax
+    _, ids_det, _, _, _ = vq_mod.vq_train_apply(
+        params_j, st, jnp.asarray(x.numpy()),
+        {**cfgq, "stochastic_sample_codes": False})
+    assert np.any(np.asarray(ids_det) != ids_t.numpy())
+    np.testing.assert_allclose(
+        np.asarray(st1.cluster_size),
+        vqt._codebook.cluster_size.detach().numpy()[0], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(st1.embed_avg),
+        vqt._codebook.embed_avg.detach().numpy()[0], rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(st1.embed), vqt._codebook.embed.detach().numpy()[0],
+        rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(q_j), q_t.numpy(), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-3,
+                               atol=1e-4)

@@ -18,7 +18,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def measure(pipe, mesh, batch_per_chip, iters=5):
+def measure(pipe, mesh, batch_per_chip, iters=5, size=256):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -27,7 +27,8 @@ def measure(pipe, mesh, batch_per_chip, iters=5):
     n = mesh.devices.size
     B = batch_per_chip * n
     imgs = jnp.asarray(
-        np.random.default_rng(0).uniform(-1, 1, (B, 256, 256, 3)), jnp.float32)
+        np.random.default_rng(0).uniform(-1, 1, (B, size, size, 3)),
+        jnp.float32)
     with jax.set_mesh(mesh):
         imgs = jax.device_put(imgs, batch_sharding(mesh))
         ids = pipe.encoding(imgs)
@@ -44,16 +45,34 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch-per-chip", type=int, default=16)
     p.add_argument("--sizes", type=str, default="")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny test config (64px) — CPU-mesh DP-efficiency "
+                        "table without the flagship model's compile cost")
+    p.add_argument("--iters", type=int, default=5)
     args = p.parse_args()
 
     import jax
     from selftoktokenizer_tpu.parallel.mesh import make_mesh
-    from __graft_entry__ import _flagship_pipeline
 
     devices = jax.devices()
     sizes = ([int(s) for s in args.sizes.split(",") if s]
              or sorted({1, len(devices)}))
-    pipe = _flagship_pipeline()
+    if args.tiny:
+        import jax.numpy as jnp
+        from selftoktokenizer_tpu.core.config import load_config
+        from selftoktokenizer_tpu.pipeline import SelftokPipeline
+
+        img_size = 64
+        cfg = load_config(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "..", "tests", "data", "tiny-eval.yml"))
+        pipe = SelftokPipeline(cfg, datasize=img_size,
+                               decode_dtype=jnp.float32)
+    else:
+        from __graft_entry__ import _flagship_pipeline
+
+        img_size = 256
+        pipe = _flagship_pipeline()
 
     results = {}
     base = None
@@ -61,7 +80,8 @@ def main():
         if n > len(devices):
             continue
         mesh = make_mesh(devices[:n], data=n)
-        rate = measure(pipe, mesh, args.batch_per_chip)
+        rate = measure(pipe, mesh, args.batch_per_chip, iters=args.iters,
+                       size=img_size)
         per_chip = rate / n
         if base is None:
             base = per_chip

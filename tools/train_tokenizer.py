@@ -37,6 +37,15 @@ def main():
     p.add_argument("--log-interval", type=int, default=10)
     p.add_argument("--ckpt-interval", type=int, default=1000)
     p.add_argument("--ckpt-dir", default="/tmp/selftok_ckpt")
+    p.add_argument("--resume-from-steps", type=int, default=0,
+                   help="resume from <ckpt-dir>/step_N (reference "
+                        "resume_from_steps, 256-eval.yml:23)")
+    p.add_argument("--resume-exclude-opt", action="store_true",
+                   help="drop saved optimizer moments on resume "
+                        "(resume_exclude_opt, 256-eval.yml:24)")
+    p.add_argument("--save-per-epochs", type=int, default=0,
+                   help="additionally checkpoint every N data epochs "
+                        "(save_per_epochs, 256-eval.yml:27)")
     p.add_argument("--recon-interval", type=int, default=0,
                    help="save a decoded sample grid every N steps "
                         "(log_recon_interval parity)")
@@ -50,7 +59,6 @@ def main():
     import numpy as np
 
     from selftoktokenizer_tpu.core.config import load_config
-    from selftoktokenizer_tpu.core.checkpoint import save_checkpoint
     from selftoktokenizer_tpu.models.tokenizer import (
         tokenizer_config_from_params, tokenizer_init)
     from selftoktokenizer_tpu.models.vae import (
@@ -58,7 +66,8 @@ def main():
         vae_init)
     from selftoktokenizer_tpu.pipeline.pipeline import load_torch_checkpoint
     from selftoktokenizer_tpu.train.trainer import (
-        TrainConfig, make_train_state, train_step)
+        TrainConfig, make_train_state, restore_train_state, save_train_state,
+        train_step)
     from selftoktokenizer_tpu.parallel.mesh import make_mesh, batch_sharding
     from selftoktokenizer_tpu.utils.logging import AverageMeter, hf_logger
 
@@ -75,6 +84,16 @@ def main():
                      warmup_steps=args.warmup, grad_norm=args.grad_norm,
                      ema_decay=args.ema_decay)
     state, opt = make_train_state(params, tcfg, tc)
+    start = 0
+    if args.resume_from_steps:
+        ck = os.path.join(args.ckpt_dir, f"step_{args.resume_from_steps}")
+        state = restore_train_state(ck, state,
+                                    exclude_opt=args.resume_exclude_opt)
+        start = int(state.step)
+        assert start == args.resume_from_steps, \
+            f"checkpoint {ck} is at step {start}"
+        hf_logger.info(f"resumed from {ck} (step {start}, "
+                       f"exclude_opt={args.resume_exclude_opt})")
 
     vae_cfg = VAEConfig()
     if args.vae_path:
@@ -87,6 +106,7 @@ def main():
     ).astype(jnp.float32))
 
     latent = args.data_size // 8
+    steps_per_epoch = 0
     if args.synthetic or not args.data_dir:
         def batches():
             rng = np.random.default_rng(0)
@@ -101,6 +121,7 @@ def main():
 
         paths = walk_all_files(args.data_dir, (".jpg", ".jpeg", ".png"))
         assert paths, f"no images in {args.data_dir}"
+        steps_per_epoch = max(1, len(paths) // args.batch_size)
 
         def batches():
             while True:
@@ -126,27 +147,35 @@ def main():
                         "--batch-size or check the corpus")
         batch_iter = batches()
 
+    assert start < args.steps, \
+        f"--resume-from-steps {start} >= --steps {args.steps}: nothing to do"
     step_fn = jax.jit(lambda s, b, r: train_step(s, opt, tcfg, tc, b, r))
     meter = AverageMeter("loss")
+    # realign the deterministic data stream with the uninterrupted run
+    for _ in range(start):
+        next(batch_iter)
     t0 = time.time()
     with jax.set_mesh(mesh):
-        for i in range(args.steps):
+        for i in range(start, args.steps):
             batch = jax.device_put(jnp.asarray(next(batch_iter)),
                                    batch_sharding(mesh))
             state, logs = step_fn(state, batch, jax.random.fold_in(key, i))
             meter.update(float(logs["loss"]))
             if (i + 1) % args.log_interval == 0:
-                sps = (i + 1) / (time.time() - t0)
+                sps = (i + 1 - start) / (time.time() - t0)
                 hf_logger.info(
                     f"step {i + 1}: loss={meter.avg:.4f} "
                     f"dm_mse={float(logs['dm_mse']):.4f} "
                     f"perplexity={float(logs['vq_perplexity']):.1f} "
                     f"{sps:.2f} steps/s")
                 meter.reset()
-            if args.ckpt_interval and (i + 1) % args.ckpt_interval == 0:
-                save_checkpoint(os.path.join(args.ckpt_dir, f"step_{i + 1}"),
-                                {"params": state.params,
-                                 "vq_state": state.vq_state._asdict()})
+            hit_interval = args.ckpt_interval and \
+                (i + 1) % args.ckpt_interval == 0
+            hit_epoch = args.save_per_epochs and steps_per_epoch and \
+                (i + 1) % (steps_per_epoch * args.save_per_epochs) == 0
+            if hit_interval or hit_epoch:
+                save_train_state(
+                    os.path.join(args.ckpt_dir, f"step_{i + 1}"), state)
             if args.recon_interval and (i + 1) % args.recon_interval == 0:
                 # run the CURRENT model: encode the first latent to tokens,
                 # short diffusion decode with the training params, then VAE
