@@ -523,6 +523,16 @@ def encoder_apply(p, cfg: EncoderConfig, x=None, d=None, hidden_states=None,
     return encoder_hidden_states, outs, outs_q, enc_mask, loss, log_dict, indices
 
 
+def encoder_margins(p, cfg: EncoderConfig, x):
+    """(ids, VQ top-2 margins [B,K]) for conformance-readiness stats
+    (see models.vq.vq_margins)."""
+    x_emb = _embed_patches(p, cfg, x)
+    outs = get_encoder_outs(p, cfg, x_emb)
+    if cfg.pre_norm:
+        outs = layer_norm(outs, **p["final_layer_norm"])
+    return vq_mod.vq_margins(p["quantizer"], outs)
+
+
 # ---------------------------------------------------------------------------
 # torch state-dict -> param tree
 # ---------------------------------------------------------------------------

@@ -105,12 +105,17 @@ def precompute_step_k(diti, sched, t2k=1.0):
 
 def p_sample_loop(model_fn, sched, noise, encoder_hidden_states, step_k=None,
                   K=512, cfg_scale=1.0, uncond_fn=None, super_mask=None,
-                  parameterization="velocity", shift=1.0, cond_vary=True):
+                  parameterization="velocity", shift=1.0, cond_vary=True,
+                  cfg_pair_fn=None):
     """50-step Euler sampler as one lax.scan (rectified_flow.py:165-309).
 
     model_fn(x, t, ehs, mask) -> velocity; all shapes static.
     noise: NHWC [B,h,w,C]; encoder_hidden_states: [B,K,D].
     step_k: [steps] int32 per-step token count table (from precompute_step_k).
+    cfg_pair_fn(x, t, ehs, mask) -> (v_cond, v_uncond): when given and
+    cfg_scale != 1, replaces the two sequential model calls with one batched
+    forward (mmdit.mmdit_cfg_batched — each layer's weights stream from HBM
+    once per step instead of twice).
     Returns the final latent (pred_x0 trajectory endpoint).
     """
     steps = sched["scheduled_t"].shape[0]
@@ -138,6 +143,9 @@ def p_sample_loop(model_fn, sched, noise, encoder_hidden_states, step_k=None,
         a_prev = sched_prev[i]
         if cfg_scale == 1.0:
             v = model_fn(img, t, encoder_hidden_states, mask)
+        elif cfg_pair_fn is not None:
+            v_c, v_un = cfg_pair_fn(img, t, encoder_hidden_states, mask)
+            v = v_un + cfg_scale * (v_c - v_un)
         else:
             v_un = uncond_fn(img, t, encoder_hidden_states, mask)
             v_c = model_fn(img, t, encoder_hidden_states, mask)

@@ -515,6 +515,64 @@ def mmdit_cfg_inference(params, cfg: MMDiTConfig, x, t, encoder_hidden_states,
     return unpatchify(out, cfg.patch_size, cfg.out_ch, gh, gw)
 
 
+def mmdit_cfg_batched(params, cfg: MMDiTConfig, x, t, encoder_hidden_states,
+                      mask, ctx_mods=None):
+    """CFG cond+uncond in ONE trunk pass over a 2B batch.
+
+    The reference runs two sequential forwards per sampler step
+    (rectified_flow.py:284-289: cfg_inference then forward); at serving
+    batch sizes the MMDiT-XL decode is partially weight-HBM-bound, so
+    batching the two branches reads each layer's weights once per step
+    instead of twice. The cond/uncond differences are pure data: context
+    rows (embedded+pos vs zeros/uncond_c), conditioning vector (t_emb(t)
+    (+pooled y) vs t_emb(floor(t)) (+uncond_y)), and key-mask rows (mask vs
+    zeros) — bit-identical to the two separate calls (test-pinned).
+    Requires register_length == 0 (the uncond branch has no registers;
+    shipped configs satisfy this). Returns (v_cond, v_uncond).
+    """
+    assert cfg.register_length == 0, "batched CFG assumes no register tokens"
+    B, h, w, _ = x.shape
+    gh, gw = h // cfg.patch_size, w // cfg.patch_size
+    xt = patch_embed(params["x_embedder"], x, cfg.patch_size)
+    xt = xt + crop_pos_embed(params["pos_embed"], cfg.pos_embed_max_size,
+                             gh, gw).astype(xt.dtype)
+    t1000 = t * 1000.0
+    c_c = timestep_embedder(params["t_embedder"], t1000).astype(xt.dtype)
+    ti = jnp.clip(jnp.floor(t1000), 0, 999).astype(jnp.int32)
+    c_u = timestep_embedder(params["t_embedder"], ti).astype(xt.dtype)
+    if cfg.sd3_cond_pooling:
+        y = _pool_y(params, cfg, encoder_hidden_states, mask)
+        if y is not None:
+            c_c = c_c + y
+        if "uncond_y" in params:
+            c_u = c_u + params["uncond_y"].astype(c_u.dtype)
+
+    Lc = encoder_hidden_states.shape[1]
+    ctx_c = linear(params["context_embedder"], encoder_hidden_states)
+    ctx_c = (ctx_c + params["context_pos_embed"][:, :Lc]).astype(xt.dtype)
+    ctx_u = jnp.zeros((B, Lc, cfg.hidden_size), xt.dtype)
+    if cfg.renderer and "uncond_c" in params:
+        uc = params["uncond_c"].astype(xt.dtype)
+        uc = uc[None] if uc.ndim == 2 else uc
+        ctx_u = jax.lax.dynamic_update_slice(
+            ctx_u, jnp.broadcast_to(uc, (B,) + uc.shape[1:]), (0, 0, 0))
+
+    context = jnp.concatenate([ctx_c, ctx_u], axis=0)
+    xt2 = jnp.concatenate([xt, xt], axis=0)
+    c2 = jnp.concatenate([c_c, c_u], axis=0)
+    mask2 = jnp.concatenate(
+        [mask.astype(bool), jnp.zeros_like(mask, bool)], axis=0)
+    key_mask = build_decode_key_mask(mask2, xt.shape[1], 0)
+    if ctx_mods is None:
+        ctx_mods = precompute_context_mods(params, cfg)
+    if ctx_mods is not None and not isinstance(ctx_mods, int) \
+            and ctx_mods.shape[1] != Lc:
+        ctx_mods = ctx_mods[:, :Lc]
+    out = _trunk(params, cfg, context, xt2, c2, ctx_mods, key_mask=key_mask)
+    v = unpatchify(out, cfg.patch_size, cfg.out_ch, gh, gw)
+    return v[:B], v[B:]
+
+
 def renderdit_apply(params, cfg: MMDiTConfig, encoder_hidden_states,
                     mask=None, x_mask=None, hw=(32, 32), ctx_mods=None):
     """RenderDiT.forward (renderdit.py:844-896): the earlier standalone

@@ -97,6 +97,23 @@ def vq_encode(p, x, use_pallas=None):
     return jnp.argmax(dist, axis=-1).astype(jnp.int32), z
 
 
+def vq_margins(p, x):
+    """(ids, top-2 cosine-score gap) per token.
+
+    The margin is the argmax-tie safety budget: the reference picks codes by
+    ``argmax`` over fp32 cosine scores (vector_quantize_pytorch.py:561-563),
+    so a backend/precision change can only flip a token id if its margin is
+    smaller than the numerical noise floor (~1e-6 at fp32-HIGHEST, ~1e-2 at
+    single-pass bf16). `tools/tokenize_corpus.py --margin-stats` histograms
+    this over a corpus to certify lower encode precisions.
+    """
+    z = l2norm(project_in(p, x).astype(jnp.float32))
+    dist = vq_distances(p, z)
+    ids = jnp.argmax(dist, axis=-1).astype(jnp.int32)
+    top2 = jax.lax.top_k(dist, 2)[0]
+    return ids, top2[..., 0] - top2[..., 1]
+
+
 def get_codes_from_indices(p, indices):
     """Codebook gather (vector_quantize_pytorch.py:787-805)."""
     return p["embed"][indices]

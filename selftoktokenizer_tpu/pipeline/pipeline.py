@@ -168,6 +168,7 @@ class SelftokPipeline:
         # params are passed as explicit jit arguments (closures would embed
         # them as HLO constants — hundreds of MB through remote compile)
         self._encode_jit = jax.jit(self._encode_impl)
+        self._margins_jit = jax.jit(self._margins_impl)
         self._decode_jit = jax.jit(self._decode_impl)
         self._render_jit = jax.jit(self._render_impl)
         self._latent_decode_jit = jax.jit(self._latent_decode_impl)
@@ -179,6 +180,12 @@ class SelftokPipeline:
         (SelftokPipeline.encoding:210-225)."""
         return self._encode_jit(self.params["encoder"], self.vae_params,
                                 jnp.asarray(images))
+
+    def encoding_margins(self, images):
+        """(token ids [B,K], VQ top-2 margins [B,K]) — conformance-readiness
+        instrumentation for the argmax-tie risk (models/vq.vq_margins)."""
+        return self._margins_jit(self.params["encoder"], self.vae_params,
+                                 jnp.asarray(images))
 
     def decoding(self, ids, rng=None):
         """ids: [B,K] int -> reconstructed images NHWC float [0,1]
@@ -214,6 +221,15 @@ class SelftokPipeline:
         with jax.default_matmul_precision(self.encode_precision):
             _, ids = encoder_apply(enc_params, self.tcfg.encoder, x0)
         return ids
+
+    def _margins_impl(self, enc_params, vae_params, images):
+        from selftoktokenizer_tpu.models.encoder import encoder_margins
+
+        x0 = vae_encode_mode(vae_params, self.vae_cfg,
+                             images.astype(jnp.bfloat16))
+        x0 = SD3LatentFormat.process_in(x0).astype(jnp.float32)
+        with jax.default_matmul_precision(self.encode_precision):
+            return encoder_margins(enc_params, self.tcfg.encoder, x0)
 
     def _tokens_to_context(self, enc_params, ids):
         outs_q = vq_mod.get_output_from_indices(enc_params["quantizer"], ids)
@@ -255,13 +271,22 @@ class SelftokPipeline:
                             ctx_mods=mods)
             return v.astype(jnp.float32)
 
-        uncond_fn = None
+        uncond_fn = cfg_pair_fn = None
         if self.cfg_scale != 1.0:
-            def uncond_fn(x, t, e, mask):
-                v = mmdit_cfg_inference(
-                    mp, self.tcfg.decoder, x.astype(dd), t, None,
-                    mask=jnp.zeros_like(mask), ctx_mods=mods)
-                return v.astype(jnp.float32)
+            if self.tcfg.decoder.register_length == 0:
+                from selftoktokenizer_tpu.models.mmdit import mmdit_cfg_batched
+
+                def cfg_pair_fn(x, t, e, mask):
+                    vc, vu = mmdit_cfg_batched(
+                        mp, self.tcfg.decoder, x.astype(dd), t, e.astype(dd),
+                        mask, ctx_mods=mods)
+                    return vc.astype(jnp.float32), vu.astype(jnp.float32)
+            else:
+                def uncond_fn(x, t, e, mask):
+                    v = mmdit_cfg_inference(
+                        mp, self.tcfg.decoder, x.astype(dd), t, None,
+                        mask=jnp.zeros_like(mask), ctx_mods=mods)
+                    return v.astype(jnp.float32)
 
         segments = self._decode_segments()
         if segments is None or self.cfg_scale != 1.0 or not self.cond_vary \
@@ -270,7 +295,7 @@ class SelftokPipeline:
                 model_fn, self.sched, noise, ehs,
                 step_k=self.step_k if self.cond_vary else None, K=self.K,
                 cfg_scale=self.cfg_scale, uncond_fn=uncond_fn,
-                super_mask=super_mask,
+                cfg_pair_fn=cfg_pair_fn, super_mask=super_mask,
                 parameterization=self.parameterization)
         else:
             # Bucketed decode: tokens are diffusion-ordered and the per-step

@@ -238,7 +238,65 @@ def test_cfg_inference_uncond_buffers_match_reference(tmp_path):
         assert np.abs(np.asarray(base).transpose(0, 3, 1, 2) - got).max() > 1e-4
 
 
-def test_renderer_matches_reference():
+def test_cfg_batched_equals_sequential():
+    """mmdit_cfg_batched (one 2B trunk pass) must reproduce the two separate
+    forwards it replaces — v_cond == mmdit_apply, v_uncond ==
+    mmdit_cfg_inference — to float tolerance."""
+    from selftoktokenizer_tpu.models.mmdit import mmdit_cfg_batched
+
+    m = build_ref_mmdit(seed=8)
+    cfg = jax_cfg()
+    params = mmdit_from_state_dict(_np_sd(m), cfg)
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal(
+        (2, LATENT, LATENT, 16)).astype(np.float32))
+    ehs = jnp.asarray(rng.standard_normal((2, K, ENC_HIDDEN)).astype(np.float32))
+    t = jnp.asarray([0.5, 0.9], jnp.float32)
+    mask = jnp.asarray([[1, 1, 1, 0, 0, 0], [1, 1, 1, 1, 1, 1]], bool)
+
+    v_c, v_u = mmdit_cfg_batched(params, cfg, x, t, ehs, mask)
+    want_c = mmdit_apply(params, cfg, x, t, ehs, mask=mask,
+                         context_see_xt=True)
+    want_u = mmdit_cfg_inference(params, cfg, x, t, None,
+                                 mask=jnp.zeros_like(mask))
+    np.testing.assert_allclose(np.asarray(v_c), np.asarray(want_c),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v_u), np.asarray(want_u),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_cfg_sampler_batched_equals_sequential_loop():
+    """Full multi-step CFG sampling: p_sample_loop with cfg_pair_fn ==
+    p_sample_loop with the sequential uncond_fn/model_fn pair."""
+    from selftoktokenizer_tpu.models import flow as flow_mod
+    from selftoktokenizer_tpu.models.mmdit import mmdit_cfg_batched
+
+    m = build_ref_mmdit(seed=9)
+    cfg = jax_cfg()
+    params = mmdit_from_state_dict(_np_sd(m), cfg)
+    rng = np.random.default_rng(9)
+    noise = jnp.asarray(rng.standard_normal(
+        (2, LATENT, LATENT, 16)).astype(np.float32))
+    ehs = jnp.asarray(rng.standard_normal((2, K, ENC_HIDDEN)).astype(np.float32))
+    sched = flow_mod.make_schedule(4, 1.0, "uniform")
+
+    def model_fn(x, t, e, mask):
+        return mmdit_apply(params, cfg, x, t, e, mask=mask,
+                           context_see_xt=True)
+
+    def uncond_fn(x, t, e, mask):
+        return mmdit_cfg_inference(params, cfg, x, t, None,
+                                   mask=jnp.zeros_like(mask))
+
+    def pair_fn(x, t, e, mask):
+        return mmdit_cfg_batched(params, cfg, x, t, e, mask)
+
+    seq = flow_mod.p_sample_loop(model_fn, sched, noise, ehs, K=K,
+                                 cfg_scale=3.0, uncond_fn=uncond_fn)
+    bat = flow_mod.p_sample_loop(model_fn, sched, noise, ehs, K=K,
+                                 cfg_scale=3.0, cfg_pair_fn=pair_fn)
+    np.testing.assert_allclose(np.asarray(bat), np.asarray(seq),
+                               rtol=1e-4, atol=1e-4)
     m = build_ref_mmdit(renderer=True, seed=4)
     cfg = jax_cfg(renderer=True)
     params = mmdit_from_state_dict(_np_sd(m), cfg)

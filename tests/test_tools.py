@@ -53,10 +53,66 @@ def test_tokenize_corpus_tool(img_dir, tmp_path):
     assert data["tokens"].dtype == np.int32
 
 
+def test_eval_recon_rfid_lpips(img_dir):
+    """eval_recon with the perceptual-metric nets attached (random weights:
+    pins the end-to-end plumbing; real weights produce the paper numbers)."""
+    out = _run(["tools/eval_recon.py", "--yml-path", TINY_YML,
+                "--data-dir", img_dir, "--data_size", "64",
+                "--batch-size", "4", "--steps", "2",
+                "--fid-weights", "random", "--lpips-weights", "random"],
+               timeout=900)
+    stats = json.loads(out.strip().splitlines()[-1])
+    assert stats["n"] == 8
+    assert np.isfinite(stats["rfid"]) and stats["rfid"] >= 0
+    assert np.isfinite(stats["lpips"]) and stats["lpips"] >= 0
+
+
+def test_tokenize_corpus_margin_stats(img_dir, tmp_path):
+    out_file = str(tmp_path / "toks_m.npz")
+    out = _run(["tools/tokenize_corpus.py", "--yml-path", TINY_YML,
+                "--data-dir", img_dir, "--out", out_file,
+                "--data_size", "64", "--batch-size", "4", "--margin-stats"])
+    stats = json.loads(out.strip().splitlines()[-1])
+    ms = stats["margin_stats"]
+    assert ms["total_tokens"] == 8 * 8
+    assert 0.0 <= ms["min"] <= ms["median"]
+    data = np.load(out_file, allow_pickle=True)
+    assert data["margins"].shape == (8, 8)
+    assert np.all(data["margins"] >= 0)
+
+
+def test_activation_diff_tool():
+    out = _run(["tools/activation_diff.py", "--yml-path", TINY_YML,
+                "--data_size", "64", "--batch", "2"])
+    lines = [json.loads(ln) for ln in out.strip().splitlines()
+             if ln.startswith("{")]
+    final = lines[-1]
+    assert final["stage"] == "ids" and final["ok"], final
+    assert final["mismatches"] == 0
+    stages = {ln["stage"] for ln in lines[:-1]}
+    assert {"x_embed", "outs", "z", "dist"} <= stages
+    assert all(ln["max_abs"] < 1e-4 for ln in lines[:-1])
+
+
+def test_conformance_tool(img_dir):
+    """Random-weight ckpt round-trip through the one-command conformance
+    runner: ids bit-exact, margins reported, decode PSNR finite."""
+    out = _run(["tools/conformance.py", "--yml-path", TINY_YML,
+                "--data-dir", img_dir, "--data_size", "64",
+                "--batch-size", "4", "--steps", "2", "--decode"],
+               timeout=900)
+    stats = json.loads(out.strip().splitlines()[-1])
+    assert stats["ids_bit_exact"], stats
+    assert stats["total_tokens"] == 8 * 8
+    assert stats["margin_min"] >= 0
+    assert np.isfinite(stats["psnr_decode"])
+
+
 def test_train_tool_resume(tmp_path):
     """CLI kill-and-resume: 4 steps straight == 2 steps + resume-from 2."""
+    # batch divisible by the inherited 8-device CPU mesh's data axis
     common = ["tools/train_tokenizer.py", "--yml-path", TINY_YML,
-              "--data_size", "64", "--batch-size", "2", "--synthetic",
+              "--data_size", "64", "--batch-size", "8", "--synthetic",
               "--log-interval", "1", "--ema-decay", "0.9"]
     out_a = _run(common + ["--steps", "4", "--ckpt-interval", "10",
                            "--ckpt-dir", str(tmp_path / "a")], timeout=600)

@@ -28,6 +28,13 @@ def main():
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--limit", type=int, default=0)
     p.add_argument("--renderer", action="store_true")
+    p.add_argument("--fid-weights", default=None,
+                   help="Inception-V3 state dict (.pth, pytorch-fid naming) "
+                        "-> adds rFID to the report; pass 'random' for a "
+                        "seeded random net (pipeline test only)")
+    p.add_argument("--lpips-weights", default=None,
+                   help="LPIPS VGG state dict (.pth, richzhang naming) -> "
+                        "adds LPIPS; 'random' for a seeded random net")
     args = p.parse_args()
 
     import jax
@@ -54,7 +61,37 @@ def main():
             f"need at least --batch-size={args.batch_size} images under "
             f"{args.data_dir}, found {len(paths)}")
 
+    # optional perceptual metrics (rFID needs Inception pool3 features over
+    # BOTH distributions; LPIPS is per-pair)
+    fid_params = lpips_params = None
+    fid_real = fid_fake = None
+    if args.fid_weights:
+        from selftoktokenizer_tpu.eval import inception as inc
+        from selftoktokenizer_tpu.utils.metrics import StreamingMoments
+
+        if args.fid_weights == "random":
+            fid_params = inc.inception_init(jax.random.PRNGKey(7))
+        else:
+            from selftoktokenizer_tpu.pipeline.pipeline import load_torch_checkpoint
+
+            fid_params = inc.inception_from_state_dict(
+                load_torch_checkpoint(args.fid_weights))
+        fid_real, fid_fake = StreamingMoments(2048), StreamingMoments(2048)
+        fid_feats = jax.jit(lambda x: inc.inception_pool3(fid_params, x))
+    if args.lpips_weights:
+        from selftoktokenizer_tpu.eval import lpips as lp
+
+        if args.lpips_weights == "random":
+            lpips_params = lp.lpips_init(jax.random.PRNGKey(8))
+        else:
+            from selftoktokenizer_tpu.pipeline.pipeline import load_torch_checkpoint
+
+            lpips_params = lp.lpips_from_state_dict(
+                load_torch_checkpoint(args.lpips_weights))
+        lpips_fn = jax.jit(lambda a, b: lp.lpips_distance(lpips_params, a, b))
+
     m_psnr, m_ssim = AverageMeter("psnr"), AverageMeter("ssim")
+    m_lpips = AverageMeter("lpips")
     timer = Timer()
     bs = args.batch_size
     for i in range(0, len(paths), bs):
@@ -69,10 +106,23 @@ def main():
         ref01 = jnp.asarray((imgs + 1.0) / 2.0)
         m_psnr.update(float(jnp.mean(psnr(recon, ref01))), bs)
         m_ssim.update(float(jnp.mean(ssim(recon, ref01))), bs)
+        if fid_real is not None:
+            fid_real.update(np.asarray(fid_feats(ref01)))
+            fid_fake.update(np.asarray(fid_feats(recon)))
+        if lpips_params is not None:
+            m_lpips.update(float(jnp.mean(lpips_fn(recon, ref01))), bs)
         print(f"[{i + bs}/{len(paths)}] {m_psnr} {m_ssim}", flush=True)
 
     out = {"n": m_psnr.count, "psnr": m_psnr.avg, "ssim": m_ssim.avg,
            "images_per_s": m_psnr.count / timer.elapsed()}
+    if fid_real is not None and fid_real.n >= 2:
+        from selftoktokenizer_tpu.utils.metrics import frechet_distance
+
+        mu_r, cov_r = fid_real.mean_cov()
+        mu_f, cov_f = fid_fake.mean_cov()
+        out["rfid"] = float(frechet_distance(mu_f, cov_f, mu_r, cov_r))
+    if lpips_params is not None:
+        out["lpips"] = m_lpips.avg
     print(json.dumps(out))
 
 

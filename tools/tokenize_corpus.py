@@ -29,6 +29,11 @@ def main():
     p.add_argument("--data_size", type=int, default=256)
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--limit", type=int, default=0)
+    p.add_argument("--margin-stats", action="store_true",
+                   help="also collect per-token VQ top-2 margin statistics "
+                        "(argmax-tie risk instrumentation; see "
+                        "models/vq.vq_margins). Adds 'margins' to the npz "
+                        "and a histogram summary to the output JSON")
     args = p.parse_args()
 
     import jax
@@ -79,17 +84,21 @@ def main():
                     np.arange(i, i + len(chunk)))
         batches = gen()
 
-    all_tokens, all_idx, done = [], [], 0
+    all_tokens, all_idx, all_margins, done = [], [], [], 0
     for imgs, idx in batches:
         if imgs.shape[0] == 0:
             continue
-        if imgs.shape[0] < args.batch_size:
-            pad = args.batch_size - imgs.shape[0]
-            padded = np.concatenate([imgs, np.zeros(
+        n_real = imgs.shape[0]
+        if n_real < args.batch_size:
+            pad = args.batch_size - n_real
+            imgs = np.concatenate([imgs, np.zeros(
                 (pad, *imgs.shape[1:]), imgs.dtype)])
-            ids = np.asarray(pipe.encoding(padded))[:imgs.shape[0]]
+        if args.margin_stats:
+            ids, margins = pipe.encoding_margins(imgs)
+            ids = np.asarray(ids)[:n_real]
+            all_margins.append(np.asarray(margins)[:n_real])
         else:
-            ids = np.asarray(pipe.encoding(imgs))
+            ids = np.asarray(pipe.encoding(imgs))[:n_real]
         all_tokens.append(ids.astype(np.int32))
         all_idx.append(np.asarray(idx))
         done += ids.shape[0]
@@ -104,11 +113,26 @@ def main():
     if jax.process_count() > 1:  # numpy appends .npz — name the real file
         base = args.out[:-4] if args.out.endswith(".npz") else args.out
         out_name = f"{base}.part{jax.process_index()}.npz"
-    np.savez_compressed(out_name, tokens=tokens, paths=token_paths)
+    extra = {}
+    summary = {}
+    if args.margin_stats and all_margins:
+        margins = np.concatenate(all_margins)
+        extra["margins"] = margins.astype(np.float32)
+        q = np.quantile(margins, [0.0, 0.001, 0.01, 0.05, 0.5])
+        summary["margin_stats"] = {
+            "min": float(q[0]), "p0.1": float(q[1]), "p1": float(q[2]),
+            "p5": float(q[3]), "median": float(q[4]),
+            # tokens whose id would flip if scores moved by ~bf16 noise:
+            # the count that must be 0 to certify encode_precision='high'
+            "below_1e-2": int(np.sum(margins < 1e-2)),
+            "below_1e-4": int(np.sum(margins < 1e-4)),
+            "total_tokens": int(margins.size),
+        }
+    np.savez_compressed(out_name, tokens=tokens, paths=token_paths, **extra)
     print(json.dumps({
         "n": int(tokens.shape[0]),
         "images_per_s": round(tokens.shape[0] / (time.time() - t0), 2),
-        "out": out_name,
+        "out": out_name, **summary,
     }))
 
 

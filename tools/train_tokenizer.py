@@ -89,6 +89,10 @@ def main():
         ck = os.path.join(args.ckpt_dir, f"step_{args.resume_from_steps}")
         state = restore_train_state(ck, state,
                                     exclude_opt=args.resume_exclude_opt)
+        # orbax commits restored arrays to one device; re-place on the mesh
+        from selftoktokenizer_tpu.parallel.mesh import replicated
+        state = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, replicated(mesh)), state)
         start = int(state.step)
         assert start == args.resume_from_steps, \
             f"checkpoint {ck} is at step {start}"
