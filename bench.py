@@ -1,14 +1,29 @@
 """Benchmark: flagship 256px / 512-token tokenize (encode) throughput on one
-TPU chip, plus the 50-step diffusion-decode rate.
+TPU chip, the 50-step diffusion-decode rate, and the one-step renderer —
+with roofline accounting (speed-of-light utilization) for each path.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
-The reference publishes no throughput numbers (SURVEY §6); BASELINE.json sets
-the target at >=5x a reference-GPU encode rate that is likewise unpublished.
-``vs_baseline`` therefore reports against REF_GPU_IMG_PER_S below — a
-measured-in-round-1 placeholder for the reference PyTorch encode rate on a
-datacenter GPU-class device (conservatively estimated); refine when a real
-reference measurement exists.
+Anchor methodology (BASELINE.md "Throughput anchor"): the reference
+publishes no throughput numbers, so vs_baseline divides by a DERIVED
+reference-GPU encode rate built from analytic model FLOPs
+(selftoktokenizer_tpu/utils/flops.py): VAE encoder 273 GFLOPs bf16 +
+Qformer/VQ 66 GFLOPs fp32 per image, on an A100 at 40% bf16 / 50% fp32
+utilization (TF32 off — torch matmul default) -> ~110 img/s; cross-checked
+by running the actual reference torch encoder on this host's CPU
+(tools/measure_anchor.py — same-silicon ratio rules out a hidden reference
+software advantage).
+
+Roofline: v5e peak 197 bf16 TFLOP/s; fp32 matmuls lower to bf16 multi-pass
+(HIGHEST=6 passes, HIGH=3), so the conformance-faithful encode's
+speed-of-light is VAE@bf16 + encoder@(197/6): ~294 img/s. sol_util is
+measured/speed-of-light per path — the honest utilization number for a
+mixed-precision pipeline.
+
+Measurement hygiene: run on an otherwise-idle host — concurrent host-CPU
+load throttles the fast encode variants to dispatch-bound ~197 img/s
+regardless of matmul precision (observed; clean-host reference numbers in
+docs/ARCHITECTURE.md).
 """
 
 import json
@@ -18,72 +33,122 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Conservative estimate of the reference torch pipeline's 256px encode rate
-# on an A100-class GPU (VAE encode + QformerEncoder + VQ over 32768 codes,
-# fp32 encoder as shipped). Used only to fill vs_baseline until a real
-# reference measurement exists.
-REF_GPU_IMG_PER_S = 120.0
+V5E_BF16_PEAK = 197e12
+PASSES = {"highest": 6.0, "high": 3.0, "default": 1.0}
+REF_GPU_IMG_PER_S = 110.0   # derived anchor (band 90-130); see BASELINE.md
+
+
+def _rate(fn, iters=10, warm=1):
+    for _ in range(warm):
+        out = fn()
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    jax.block_until_ready(out)
+    return iters / (time.perf_counter() - t0)
+
+
+BUDGET_S = 1380  # soft cap: optional sections are skipped past this
 
 
 def main():
     from __graft_entry__ import _flagship_pipeline
+    from selftoktokenizer_tpu.utils import flops as F
 
+    t_start = time.time()
     platform = jax.devices()[0].platform
     pipe = _flagship_pipeline()
+    vae_f, enc_f = F.encode_flops(pipe.tcfg, 256)
+    dec_f = F.decode50_flops(pipe.tcfg, 256, steps=pipe.steps)
+
+    def encode_sol(prec):
+        return 1.0 / (vae_f / V5E_BF16_PEAK
+                      + enc_f / (V5E_BF16_PEAK / PASSES[prec]))
 
     batch = 16
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.uniform(-1, 1, (batch, 256, 256, 3)),
                          jnp.float32)
 
-    # --- encode throughput -------------------------------------------------
-    ids = pipe.encoding(images)
-    jax.block_until_ready(ids)   # compile + warm
-    iters = 10
-    t0 = time.perf_counter()
-    for i in range(iters):
-        ids = pipe.encoding(images)
-    jax.block_until_ready(ids)
-    dt = time.perf_counter() - t0
-    enc_img_per_s = batch * iters / dt
+    # --- encode (fp32-HIGHEST: the conformance-faithful path) --------------
+    enc_img_per_s = batch * _rate(lambda: pipe.encoding(images))
+    sol = {"encode_sol_img_per_s": round(encode_sol("highest"), 1),
+           "encode_sol_util": round(enc_img_per_s / encode_sol("highest"), 3),
+           "encode_flops_per_img_G": round((vae_f + enc_f) / 1e9, 1)}
+
+    # --- encode fast paths: margin-gated precisions ------------------------
+    extras = {}
+    try:
+        enc_args = (pipe.params["encoder"], pipe.vae_params, images)
+        for prec in ("high", "default"):
+            r = batch * _rate(
+                lambda: pipe._encode_jit(*enc_args, precision=prec))
+            extras[f"encode_{prec}_images_per_s"] = round(r, 2)
+            sol[f"encode_{prec}_sol_util"] = round(r / encode_sol(prec), 3)
+    except Exception as e:
+        extras["encode_sweep"] = f"error: {type(e).__name__}"
 
     # --- 50-step diffusion decode ------------------------------------------
     decode_img_per_s = None
     try:
         dec_batch = 4
+        ids = pipe.encoding(images)
         dids = ids[:dec_batch]
-        out = pipe.decoding(dids)
-        jax.block_until_ready(out)  # compile + warm
-        t0 = time.perf_counter()
-        for i in range(3):
-            out = pipe.decoding(dids, rng=jax.random.PRNGKey(i))
-        jax.block_until_ready(out)
-        dt = time.perf_counter() - t0
-        decode_img_per_s = dec_batch * 3 / dt
+        decode_img_per_s = dec_batch * _rate(
+            lambda: pipe.decoding(dids), iters=3)
+        dec_sol = V5E_BF16_PEAK / dec_f
+        sol["decode50_sol_img_per_s"] = round(dec_sol, 2)
+        sol["decode50_sol_util"] = round(decode_img_per_s / dec_sol, 3)
+        sol["decode50_flops_per_img_T"] = round(dec_f / 1e12, 2)
     except Exception as e:  # decode OOM etc. — still report encode
         decode_img_per_s = f"error: {type(e).__name__}"
 
     # --- one-step renderer decode ------------------------------------------
     render_img_per_s = None
     try:
-        import copy
-
-        from selftoktokenizer_tpu.core.config import AttrDict, load_config
-
-        rcfg = load_config("/root/reference/configs/renderer/renderer-eval.yml")
+        if time.time() - t_start > BUDGET_S:
+            raise TimeoutError("bench budget")
+        from selftoktokenizer_tpu.core.config import load_config
         from selftoktokenizer_tpu.pipeline import SelftokPipeline
 
+        rcfg = load_config("/root/reference/configs/renderer/renderer-eval.yml")
         rpipe = SelftokPipeline(rcfg, datasize=256, decode_dtype=jnp.bfloat16)
         rids = jnp.zeros((8, 512), jnp.int32)
-        out = rpipe.decoding_with_renderer(rids)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(5):
-            out = rpipe.decoding_with_renderer(rids)
-        jax.block_until_ready(out)
-        render_img_per_s = 8 * 5 / (time.perf_counter() - t0)
+        render_img_per_s = 8 * _rate(
+            lambda: rpipe.decoding_with_renderer(rids), iters=5)
+        ren_f = (F.mmdit_step_flops(rpipe.tcfg.decoder)
+                 + F.vae_decoder_flops(256))
+        ren_sol = V5E_BF16_PEAK / ren_f
+        sol["renderer_sol_img_per_s"] = round(ren_sol, 1)
+        sol["renderer_sol_util"] = round(render_img_per_s / ren_sol, 3)
     except Exception as e:
         render_img_per_s = f"error: {type(e).__name__}"
+
+    # --- config variants: K=1024 @256px and 512px (BASELINE workloads 3-4
+    # shapes). 512px reuses the flagship params (the shipped encoder's
+    # pos_embed_max_size=2*latent covers 64x64 latents; encode is
+    # shape-polymorphic) — zero extra model builds; K=1024 builds one
+    # encode-only pipeline.
+    try:
+        img512 = jnp.asarray(rng.uniform(-1, 1, (4, 512, 512, 3)),
+                             jnp.float32)
+        extras["encode_512px_images_per_s"] = round(
+            4 * _rate(lambda: pipe.encoding(img512), iters=5), 2)
+
+        if time.time() - t_start < BUDGET_S:
+            from selftoktokenizer_tpu.core.config import load_config
+            from selftoktokenizer_tpu.pipeline import SelftokPipeline
+
+            kcfg = load_config("/root/reference/configs/res256/256-eval.yml")
+            kcfg.tokenizer.params["k"] = 1024
+            kcfg.tokenizer.params["k_per_stage"] = "384,368,144,96,32"
+            kpipe = SelftokPipeline(kcfg, datasize=256, encode_only=True)
+            extras["encode_k1024_images_per_s"] = round(
+                batch * _rate(lambda: kpipe.encoding(images)), 2)
+            del kpipe
+    except Exception as e:
+        extras["variants"] = f"error: {type(e).__name__}"
 
     print(json.dumps({
         "metric": "encode images/sec/chip @256px 512-token",
@@ -94,8 +159,13 @@ def main():
             decode_img_per_s, str) else round(decode_img_per_s, 3),
         "renderer_images_per_s": render_img_per_s if isinstance(
             render_img_per_s, str) else round(render_img_per_s, 3),
+        "roofline": sol,
+        **extras,
         "platform": platform,
         "batch": batch,
+        "anchor": {"ref_gpu_img_per_s": REF_GPU_IMG_PER_S,
+                   "basis": "A100: VAE 273G bf16 @40% util + encoder 66G "
+                            "fp32 @50% util (TF32 off); BASELINE.md"},
     }))
 
 

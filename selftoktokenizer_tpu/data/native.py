@@ -76,6 +76,97 @@ def preprocess_file(path, size):
     return out[None]
 
 
+def preprocess_bytes(data, size):
+    """encoded image bytes -> [1, size, size, 3] float32 in [-1,1] via the
+    native path; PIL fallback."""
+    lib = _load()
+    if lib is None:
+        import io
+
+        from PIL import Image
+
+        from selftoktokenizer_tpu.pipeline.preprocess import preprocess_pil
+
+        return preprocess_pil(Image.open(io.BytesIO(data)), size)
+    out = np.empty((size, size, 3), np.float32)
+    ok = lib.stk_preprocess_bytes(
+        data, len(data), size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    if not ok:
+        raise IOError("native bytes decode failed")
+    return out[None]
+
+
+_IMG_EXT = (".jpg", ".jpeg", ".png")
+
+
+class TarShardLoader:
+    """webdataset-style sharded-tar ingestion (the reference's trainer-side
+    dataset format — requirements.txt pins webdataset).
+
+    Shards are plain tar archives of images. Each shard streams
+    SEQUENTIALLY (the whole point of the tar format: large sequential reads
+    from blob storage instead of per-file round-trips); members decode
+    through the native bytes path on a small thread pool and accumulate into
+    [batch, size, size, 3] float32 [-1,1] batches. For multi-host training,
+    split the SHARD list across hosts (parallel.distributed.process_slice on
+    shards, not files) before constructing the loader.
+
+    yields (images, keys) with keys like 'shard-0000/member.jpg'; failed
+    decodes are dropped and counted in .stats().
+    """
+
+    def __init__(self, shards, size=256, batch=16, n_threads=4):
+        self.shards = list(shards)
+        self.size, self.batch = size, batch
+        self.n_threads = n_threads
+        self._decoded = 0
+        self._failed = 0
+
+    def stats(self):
+        return {"decoded": self._decoded, "failed": self._failed}
+
+    def _decode(self, item):
+        name, data = item
+        try:
+            return name, preprocess_bytes(data, self.size)
+        except Exception:
+            return name, None
+
+    def __iter__(self):
+        import tarfile
+        from concurrent.futures import ThreadPoolExecutor
+
+        def members():
+            for shard in self.shards:
+                base = os.path.splitext(os.path.basename(shard))[0]
+                with tarfile.open(shard, "r|*") as tf:  # streaming mode
+                    for m in tf:
+                        if not m.isfile() or \
+                                not m.name.lower().endswith(_IMG_EXT):
+                            continue
+                        f = tf.extractfile(m)
+                        if f is None:
+                            continue
+                        yield f"{base}/{m.name}", f.read()
+
+        imgs, keys = [], []
+        with ThreadPoolExecutor(self.n_threads) as pool:
+            for name, arr in pool.map(self._decode, members(),
+                                      chunksize=self.batch):
+                if arr is None:
+                    self._failed += 1
+                    continue
+                self._decoded += 1
+                imgs.append(arr)
+                keys.append(name)
+                if len(imgs) == self.batch:
+                    yield np.concatenate(imgs), keys
+                    imgs, keys = [], []
+        if imgs:
+            yield np.concatenate(imgs), keys
+
+
 class NativeImageLoader:
     """Prefetching batch iterator over image paths.
 

@@ -167,7 +167,8 @@ class SelftokPipeline:
 
         # params are passed as explicit jit arguments (closures would embed
         # them as HLO constants — hundreds of MB through remote compile)
-        self._encode_jit = jax.jit(self._encode_impl)
+        self._encode_jit = jax.jit(self._encode_impl,
+                                   static_argnames=("precision",))
         self._margins_jit = jax.jit(self._margins_impl)
         self._decode_jit = jax.jit(self._decode_impl)
         self._render_jit = jax.jit(self._render_impl)
@@ -212,13 +213,19 @@ class SelftokPipeline:
 
     # ------------------------------------------------------- jitted impls
 
-    def _encode_impl(self, enc_params, vae_params, images):
+    def _encode_impl(self, enc_params, vae_params, images, precision=None):
+        """precision: explicit override of self.encode_precision. It is a
+        STATIC jit argument on purpose — re-jitting the bound method after
+        mutating self.encode_precision can silently reuse the prior trace
+        (bound methods of one object hash equal, so the trace cache
+        collapses them); an explicit static arg keys the cache correctly.
+        bench.py's precision sweep passes it."""
         x0 = vae_encode_mode(vae_params, self.vae_cfg,
                              images.astype(jnp.bfloat16))
         x0 = SD3LatentFormat.process_in(x0).astype(jnp.float32)
         # token-id conformance requires true fp32 matmuls: on TPU the default
         # precision runs fp32 contractions as single-pass bf16
-        with jax.default_matmul_precision(self.encode_precision):
+        with jax.default_matmul_precision(precision or self.encode_precision):
             _, ids = encoder_apply(enc_params, self.tcfg.encoder, x0)
         return ids
 

@@ -75,6 +75,62 @@ def test_prefetch_loader(img_dir):
     loader.close()
 
 
+def _make_shards(img_dir, tmp_path, n_shards=2):
+    import tarfile
+
+    shards = []
+    per = len(img_dir) // n_shards
+    for s in range(n_shards):
+        sp = str(tmp_path / f"shard-{s:04d}.tar")
+        with tarfile.open(sp, "w") as tf:
+            for p in img_dir[s * per:(s + 1) * per]:
+                tf.add(p, arcname=os.path.basename(p))
+        shards.append(sp)
+    return shards
+
+
+def test_tar_shard_loader(img_dir, tmp_path):
+    """webdataset-style sharded-tar ingestion: sequential shard streaming,
+    native bytes decode, keys carried with rows, decode == per-file path."""
+    from selftoktokenizer_tpu.data.native import TarShardLoader
+
+    shards = _make_shards(img_dir, tmp_path)
+    loader = TarShardLoader(shards, size=64, batch=3, n_threads=2)
+    total, keys = 0, []
+    for imgs, names in loader:
+        assert imgs.shape[1:] == (64, 64, 3) and imgs.dtype == np.float32
+        assert len(names) == imgs.shape[0]
+        total += imgs.shape[0]
+        keys += list(names)
+    assert total == len(img_dir)
+    assert loader.stats() == {"decoded": len(img_dir), "failed": 0}
+    assert keys[0].startswith("shard-0000/")
+    # per-member decode equals the per-file native path
+    first = keys[0].split("/", 1)[1]
+    src = [p for p in img_dir if os.path.basename(p) == first][0]
+    loader2 = TarShardLoader(shards[:1], size=64, batch=1)
+    imgs0, names0 = next(iter(loader2))
+    np.testing.assert_array_equal(imgs0, preprocess_file(src, 64))
+
+
+def test_tar_shard_loader_bad_member(img_dir, tmp_path):
+    import tarfile
+
+    from selftoktokenizer_tpu.data.native import TarShardLoader
+
+    bad = str(tmp_path / "bad.jpg")
+    with open(bad, "wb") as f:
+        f.write(b"junk bytes")
+    sp = str(tmp_path / "mix.tar")
+    with tarfile.open(sp, "w") as tf:
+        tf.add(img_dir[0], arcname="ok.png")
+        tf.add(bad, arcname="bad.jpg")
+    loader = TarShardLoader([sp], size=64, batch=4)
+    total = sum(i.shape[0] for i, _ in loader)
+    assert total == 1
+    assert loader.stats()["failed"] == 1
+
+
 def test_loader_counts_bad_files(img_dir, tmp_path):
     bad = str(tmp_path / "bad.jpg")
     with open(bad, "wb") as f:

@@ -57,6 +57,47 @@ def test_vq_argmax_matches_xla():
     np.testing.assert_array_equal(got, want)
 
 
+def test_flash_attention_gradients():
+    """custom-VJP backward (XLA recompute) == autodiff through the XLA
+    reference attention, with and without key mask — the kernel is now
+    usable inside jitted train steps."""
+    rng = np.random.default_rng(4)
+    q = jnp.asarray(rng.standard_normal((2, 3, 128, 64)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((2, 3, 256, 64)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, 3, 256, 64)), jnp.float32)
+    key_mask = jnp.asarray(rng.random((2, 256)) > 0.4).at[:, 0].set(True)
+    w = jnp.asarray(rng.standard_normal((2, 3, 128, 64)), jnp.float32)
+
+    for km in (None, key_mask):
+        def loss_flash(q, k, v):
+            return jnp.sum(w * flash_sdpa_key_mask(q, k, v, km,
+                                                   interpret=True))
+
+        def loss_ref(q, k, v):
+            out = sdpa_key_mask(q, k, v, km) if km is not None \
+                else sdpa(q, k, v)
+            return jnp.sum(w * out)
+
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4)
+
+
+def test_flash_attention_block_q_variants():
+    """block_q is sweepable without changing results."""
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.standard_normal((1, 2, 256, 64)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 2, 256, 64)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 2, 256, 64)), jnp.float32)
+    base = flash_sdpa_key_mask(q, k, v, interpret=True, block_q=128)
+    for bq in (64, 256):
+        got = flash_sdpa_key_mask(q, k, v, interpret=True, block_q=bq)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_vq_argmax_tie_break_first():
     # duplicate codes: argmax must return the lowest id (torch semantics)
     D, C = 16, 8192

@@ -53,6 +53,29 @@ def test_tokenize_corpus_tool(img_dir, tmp_path):
     assert data["tokens"].dtype == np.int32
 
 
+def test_tokenize_corpus_tar_shards(img_dir, tmp_path):
+    """webdataset-style corpus: tokenize straight from .tar shards."""
+    import tarfile
+
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    files = sorted(os.listdir(img_dir))
+    for s in range(2):
+        with tarfile.open(str(shard_dir / f"s{s}.tar"), "w") as tf:
+            for name in files[s * 4:(s + 1) * 4]:
+                tf.add(os.path.join(img_dir, name), arcname=name)
+    out_file = str(tmp_path / "toks_tar.npz")
+    out = _run(["tools/tokenize_corpus.py", "--yml-path", TINY_YML,
+                "--data-dir", str(shard_dir), "--out", out_file,
+                "--data_size", "64", "--batch-size", "4"])
+    stats = json.loads(out.strip().splitlines()[-1])
+    assert stats["n"] == 8
+    data = np.load(out_file, allow_pickle=True)
+    assert data["tokens"].shape == (8, 8)
+    assert all(str(p).startswith("s0/") or str(p).startswith("s1/")
+               for p in data["paths"])
+
+
 def test_eval_recon_rfid_lpips(img_dir):
     """eval_recon with the perceptual-metric nets attached (random weights:
     pins the end-to-end plumbing; real weights produce the paper numbers)."""

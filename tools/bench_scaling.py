@@ -52,6 +52,17 @@ def main():
     args = p.parse_args()
 
     import jax
+
+    # the sandbox's sitecustomize registers the single-TPU axon plugin in
+    # every interpreter and it can block on a busy tunnel even under
+    # JAX_PLATFORMS=cpu; when virtual host devices were requested, force CPU
+    # in-process (same pattern as __graft_entry__.dryrun_multichip)
+    if "xla_force_host_platform_device_count" in os.environ.get("XLA_FLAGS", ""):
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
     from selftoktokenizer_tpu.parallel.mesh import make_mesh
 
     devices = jax.devices()

@@ -51,27 +51,45 @@ def main():
                            vae_path=args.vae_path, datasize=args.data_size,
                            encode_only=True)
 
+    shards = walk_all_files(args.data_dir, (".tar",))
     paths = walk_all_files(args.data_dir, (".jpg", ".jpeg", ".png"))
-    if args.limit:
-        paths = paths[:args.limit]
-    lo, hi = process_slice(len(paths))
-    paths = paths[lo:hi]
-    if not paths:
-        raise SystemExit(f"no images under {args.data_dir}")
+    if shards and not paths:
+        # webdataset-style sharded-tar corpus: shard list split per host
+        lo, hi = process_slice(len(shards))
+        shards = shards[lo:hi]
+        paths = None
+    else:
+        if args.limit:
+            paths = paths[:args.limit]
+        lo, hi = process_slice(len(paths))
+        paths = paths[lo:hi]
+        if not paths:
+            raise SystemExit(f"no images or .tar shards under {args.data_dir}")
 
     t0 = time.time()
-    # the native loader yields batches in WORKER order and drops failed
-    # decodes — carry the per-row source index so tokens map to paths
-    if native_available():
+    # every branch yields (imgs, per-row source names) — the native loader
+    # returns batches in WORKER order and drops failed decodes, so names
+    # must travel with the rows
+    total = len(paths) if paths is not None else None
+    if paths is None:
+        from selftoktokenizer_tpu.data.native import TarShardLoader
+
+        def gen():
+            for imgs, keys in TarShardLoader(shards, size=args.data_size,
+                                             batch=args.batch_size):
+                yield imgs, np.asarray(keys)
+        batches = gen()
+    elif native_available():
         loader = NativeImageLoader(paths, size=args.data_size,
                                    batch=args.batch_size, n_threads=4)
 
         def gen():
             while True:
                 try:
-                    yield loader.next_with_indices()
+                    imgs, idx = loader.next_with_indices()
                 except StopIteration:
                     return
+                yield imgs, np.asarray([paths[i] for i in idx])
         batches = gen()
     else:
         from selftoktokenizer_tpu.pipeline.preprocess import load_image
@@ -81,11 +99,11 @@ def main():
                 chunk = paths[i:i + args.batch_size]
                 yield (np.concatenate(
                     [load_image(q, args.data_size) for q in chunk]),
-                    np.arange(i, i + len(chunk)))
+                    np.asarray(chunk))
         batches = gen()
 
-    all_tokens, all_idx, all_margins, done = [], [], [], 0
-    for imgs, idx in batches:
+    all_tokens, all_names, all_margins, done = [], [], [], 0
+    for imgs, names in batches:
         if imgs.shape[0] == 0:
             continue
         n_real = imgs.shape[0]
@@ -100,15 +118,15 @@ def main():
         else:
             ids = np.asarray(pipe.encoding(imgs))[:n_real]
         all_tokens.append(ids.astype(np.int32))
-        all_idx.append(np.asarray(idx))
+        all_names.append(np.asarray(names))
         done += ids.shape[0]
         if done % (args.batch_size * 10) == 0:
-            print(f"{done}/{len(paths)} ({done / (time.time() - t0):.1f} img/s)",
-                  flush=True)
+            print(f"{done}/{total or '?'} "
+                  f"({done / (time.time() - t0):.1f} img/s)", flush=True)
 
     tokens = np.concatenate(all_tokens) if all_tokens else np.zeros((0,), np.int32)
-    idx = np.concatenate(all_idx) if all_idx else np.zeros((0,), np.int64)
-    token_paths = np.array([paths[i] for i in idx])
+    token_paths = (np.concatenate(all_names) if all_names
+                   else np.zeros((0,), dtype="U1"))
     out_name = args.out
     if jax.process_count() > 1:  # numpy appends .npz — name the real file
         base = args.out[:-4] if args.out.endswith(".npz") else args.out

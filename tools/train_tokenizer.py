@@ -120,36 +120,59 @@ def main():
         batch_iter = batches()
     else:
         from selftoktokenizer_tpu.data.native import (
-            NativeImageLoader, native_available)
+            NativeImageLoader, TarShardLoader, native_available)
+        from selftoktokenizer_tpu.parallel.distributed import process_slice
         from selftoktokenizer_tpu.utils.io import walk_all_files
 
-        paths = walk_all_files(args.data_dir, (".jpg", ".jpeg", ".png"))
-        assert paths, f"no images in {args.data_dir}"
-        steps_per_epoch = max(1, len(paths) // args.batch_size)
+        shards = walk_all_files(args.data_dir, (".tar",))
+        if shards:
+            # webdataset-style shard ingestion: shard list split per host
+            lo, hi = process_slice(len(shards))
+            shards = shards[lo:hi]
+            hf_logger.info(f"tar shards: {len(shards)} (this host)")
 
-        def batches():
-            while True:
-                if native_available():
-                    it = NativeImageLoader(paths, size=args.data_size,
-                                           batch=args.batch_size)
-                else:
-                    from selftoktokenizer_tpu.pipeline.preprocess import load_image
-                    it = (np.concatenate(
-                        [load_image(q, args.data_size)
-                         for q in paths[i:i + args.batch_size]])
-                        for i in range(0, len(paths), args.batch_size))
-                yielded = 0
-                for imgs in it:
-                    if imgs.shape[0] == args.batch_size:
-                        # keep latents on device (no host round-trip)
-                        yield vae_encode(vae_params, jnp.asarray(imgs))
-                        yielded += 1
-                if yielded == 0:
-                    raise RuntimeError(
-                        f"no full batch of {args.batch_size} decodable images "
-                        f"in {args.data_dir} ({len(paths)} files) — lower "
-                        "--batch-size or check the corpus")
-        batch_iter = batches()
+            def batches():
+                while True:
+                    yielded = 0
+                    for imgs, _ in TarShardLoader(
+                            shards, size=args.data_size,
+                            batch=args.batch_size):
+                        if imgs.shape[0] == args.batch_size:
+                            yield vae_encode(vae_params, jnp.asarray(imgs))
+                            yielded += 1
+                    if yielded == 0:
+                        raise RuntimeError(
+                            f"no full batch of {args.batch_size} decodable "
+                            f"images in {len(shards)} shards")
+            batch_iter = batches()
+        else:
+            paths = walk_all_files(args.data_dir, (".jpg", ".jpeg", ".png"))
+            assert paths, f"no images or .tar shards in {args.data_dir}"
+            steps_per_epoch = max(1, len(paths) // args.batch_size)
+
+            def batches():
+                while True:
+                    if native_available():
+                        it = NativeImageLoader(paths, size=args.data_size,
+                                               batch=args.batch_size)
+                    else:
+                        from selftoktokenizer_tpu.pipeline.preprocess import load_image
+                        it = (np.concatenate(
+                            [load_image(q, args.data_size)
+                             for q in paths[i:i + args.batch_size]])
+                            for i in range(0, len(paths), args.batch_size))
+                    yielded = 0
+                    for imgs in it:
+                        if imgs.shape[0] == args.batch_size:
+                            # keep latents on device (no host round-trip)
+                            yield vae_encode(vae_params, jnp.asarray(imgs))
+                            yielded += 1
+                    if yielded == 0:
+                        raise RuntimeError(
+                            f"no full batch of {args.batch_size} decodable "
+                            f"images in {args.data_dir} ({len(paths)} files) "
+                            "— lower --batch-size or check the corpus")
+            batch_iter = batches()
 
     assert start < args.steps, \
         f"--resume-from-steps {start} >= --steps {args.steps}: nothing to do"
