@@ -153,6 +153,189 @@ def dit_forward_with_cfg(params, cfg: DiTConfig, x, t, y, cfg_scale):
     return jnp.concatenate([eps, rest], axis=-1)
 
 
+# ---------------------------------------------------------------------------
+# DiT block variants (modules.py:797-875). No shipped reference config
+# constructs either block (dead at reference runtime); implemented for
+# component completeness and golden-tested against the reference modules.
+# ---------------------------------------------------------------------------
+
+def dit_cross_attn_block_apply(p, num_heads, x, c, encoder_hidden_states,
+                               mask=None):
+    """DiTCrossAttnBlock (modules.py:797-820): adaLN-Zero DiT block with a
+    cross-attention stage between self-attention and the MLP.
+
+    ``cross_modulate=True`` (params carry "cross_mod") gives the cross stage
+    its own 3-way (gate, shift, scale) modulation; otherwise the stage is
+    un-modulated AND un-masked (the reference drops ``mask`` in that branch
+    — modules.py:817)."""
+    from selftoktokenizer_tpu.models.encoder import cross_attention_apply
+
+    mods = linear(p["adaLN"], jax.nn.silu(c))
+    shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = \
+        jnp.split(mods, 6, axis=-1)
+    x = x + gate_msa[:, None] * vit_attention_apply(
+        p["attn"], num_heads, modulate(layer_norm(x), shift_msa, scale_msa))
+    if "cross_mod" in p:
+        gate_mca, shift_mca, scale_mca = jnp.split(
+            linear(p["cross_mod"], jax.nn.silu(c)), 3, axis=-1)
+        x = x + gate_mca[:, None] * cross_attention_apply(
+            p["cross_attn"], num_heads,
+            modulate(layer_norm(x), shift_mca, scale_mca),
+            encoder_hidden_states, mask)
+    else:
+        x = x + cross_attention_apply(p["cross_attn"], num_heads,
+                                      layer_norm(x), encoder_hidden_states)
+    x = x + gate_mlp[:, None] * mlp(
+        p["mlp"], modulate(layer_norm(x), shift_mlp, scale_mlp))
+    return x
+
+
+def dit_cross_attn_block_init(key, hidden_size, encoder_hidden_size,
+                              num_heads, mlp_ratio=4.0, cross_modulate=True,
+                              dtype=jnp.float32):
+    from selftoktokenizer_tpu.models.encoder import cross_attention_init
+
+    ks = jax.random.split(key, 5)
+    D = hidden_size
+    p = {
+        "attn": {"qkv": linear_init(ks[0], D, 3 * D, dtype=dtype),
+                 "proj": linear_init(ks[1], D, D, dtype=dtype)},
+        "cross_attn": cross_attention_init(ks[2], D, encoder_hidden_size,
+                                           dtype=dtype),
+        "mlp": mlp_init(ks[3], D, int(D * mlp_ratio), dtype=dtype),
+        "adaLN": {"w": jnp.zeros((D, 6 * D), dtype),
+                  "b": jnp.zeros((6 * D,), dtype)},
+    }
+    if cross_modulate:
+        p["cross_mod"] = {"w": jnp.zeros((D, 3 * D), dtype),
+                          "b": jnp.zeros((3 * D,), dtype)}
+    return p
+
+
+def dit_cross_attn_block_from_state_dict(sd, prefix=""):
+    p = {
+        "attn": {"qkv": cv.t_linear(sd, prefix + "attn.qkv"),
+                 "proj": cv.t_linear(sd, prefix + "attn.proj")},
+        "cross_attn": {"to_q": cv.t_linear(sd, prefix + "cross_attn.to_q"),
+                       "kv": cv.t_linear(sd, prefix + "cross_attn.kv"),
+                       "proj": cv.t_linear(sd, prefix + "cross_attn.proj")},
+        "mlp": cv.t_mlp(sd, prefix + "mlp"),
+        "adaLN": cv.t_linear(sd, prefix + "adaLN_modulation.1"),
+    }
+    if cv.has_prefix(sd, prefix + "cross_modulation.1.weight"):
+        p["cross_mod"] = cv.t_linear(sd, prefix + "cross_modulation.1")
+    return p
+
+
+@dataclasses.dataclass
+class DiTDualConfig:
+    """DiTDualBlock geometry (modules.py:823-875). The embedded DualAttention
+    is built with dim=q_dim / query_dim=hidden_size — the *q tokens* are its
+    x-stream and the DiT latent tokens its query-stream (modules.py:842-845).
+    """
+    hidden_size: int
+    q_dim: int
+    num_heads: int
+    query_heads: int
+    mlp_ratio: float = 4.0
+    dit_attention: str = "bi"           # 'bi' | 'uni' | 'uni-0'
+
+    # duck-typed view consumed by dual_attention_apply
+    @property
+    def bidirectional(self):
+        return self.dit_attention == "bi"
+
+    @property
+    def zero_init(self):
+        return self.dit_attention == "uni-0"
+
+    qk_norm: bool = False
+    query_dim: int = 0                  # filled in __post_init__
+
+    def __post_init__(self):
+        self.query_dim = self.hidden_size
+
+
+def dit_dual_block_apply(p, cfg: DiTDualConfig, x, t_emb, t_emb_q, q,
+                         mask=None):
+    """DiTDualBlock (modules.py:848-875): SD3-style two-stream adaLN block.
+
+    x: [B,N,hidden] DiT latent tokens; q: [B,K,q_dim] query tokens;
+    mask: [B,K] keep-mask over the q tokens. In 'bi' mode the q-stream
+    modulations come from ``t_emb`` (not t_emb_q) — reference behaviour.
+    Replicates the reference's MLP residual quirk exactly: the MLP branch
+    reads the post-attention activations but adds onto the PRE-attention
+    ``x``/``q`` (modules.py:871-873)."""
+    from selftoktokenizer_tpu.models.encoder import dual_attention_apply
+
+    B, N, _ = x.shape
+    mods_x = jnp.split(linear(p["adaLN"], jax.nn.silu(t_emb)), 6, axis=-1)
+    shift_x, scale_x, gate_x, shift_mx, scale_mx, gate_mx = mods_x
+    t_for_q = t_emb if cfg.bidirectional else t_emb_q
+    mods_q = jnp.split(linear(p["adaLN_q"], jax.nn.silu(t_for_q)), 6, axis=-1)
+    shift_q, scale_q, gate_q, shift_mq, scale_mq, gate_mq = mods_q
+
+    joint_mask = x_mask = None
+    if mask is not None:
+        ones_x = jnp.ones((B, N), bool)
+        # keys of the joint / query-stream attention are [q tokens || x
+        # tokens] (modules.py:853-864)
+        joint_mask = jnp.concatenate(
+            [mask.astype(bool), ones_x], axis=1)[:, None, None, :]
+        if not cfg.bidirectional:
+            x_mask = mask.astype(bool)[:, None, None, :]
+
+    x_mod = modulate(layer_norm(x), shift_x, scale_x)
+    q_mod = modulate(layer_norm(q), shift_q, scale_q)
+    q_attn, x_attn = dual_attention_apply(p["attn"], cfg, q_mod, x_mod,
+                                          mask=joint_mask, x_mask=x_mask)
+    x_res = x + gate_x[:, None] * x_attn
+    q_res = q + gate_q[:, None] * q_attn
+    x = x + gate_mx[:, None] * mlp(
+        p["mlp"], modulate(layer_norm(x_res), shift_mx, scale_mx))
+    q = q + gate_mq[:, None] * mlp(
+        p["q_mlp"], modulate(layer_norm(q_res), shift_mq, scale_mq))
+    return x, q
+
+
+def dit_dual_block_init(key, cfg: DiTDualConfig, dtype=jnp.float32):
+    from selftoktokenizer_tpu.models.encoder import dual_attention_init
+
+    ks = jax.random.split(key, 4)
+    D, Dq = cfg.hidden_size, cfg.q_dim
+    # dual_attention_init reads hidden_size (its x-stream) / query_dim: for
+    # this block those are q_dim / hidden_size respectively
+    da_cfg = dataclasses.replace(cfg, hidden_size=Dq)
+    da_cfg.query_dim = D
+    return {
+        "attn": dual_attention_init(ks[0], da_cfg, dtype=dtype),
+        "mlp": mlp_init(ks[1], D, int(D * cfg.mlp_ratio), dtype=dtype),
+        "q_mlp": mlp_init(ks[2], Dq, int(Dq * cfg.mlp_ratio), dtype=dtype),
+        "adaLN": {"w": jnp.zeros((D, 6 * D), dtype),
+                  "b": jnp.zeros((6 * D,), dtype)},
+        "adaLN_q": {"w": jnp.zeros((Dq, 6 * Dq), dtype),
+                    "b": jnp.zeros((6 * Dq,), dtype)},
+    }
+
+
+def dit_dual_block_from_state_dict(sd, prefix=""):
+    p = {
+        "attn": {"qkv": cv.t_linear(sd, prefix + "attn.qkv"),
+                 "query_linear": cv.t_linear(sd, prefix + "attn.query_linear"),
+                 "proj": cv.t_linear(sd, prefix + "attn.proj"),
+                 "query_proj": cv.t_linear(sd, prefix + "attn.query_proj")},
+        "mlp": cv.t_mlp(sd, prefix + "mlp"),
+        "q_mlp": cv.t_mlp(sd, prefix + "q_mlp"),
+        "adaLN": cv.t_linear(sd, prefix + "adaLN_modulation.1"),
+        "adaLN_q": cv.t_linear(sd, prefix + "adaLN_modulation_q.1"),
+    }
+    if cv.has_prefix(sd, prefix + "attn.to_query_kv.weight"):
+        p["attn"]["to_query_kv"] = cv.t_linear(sd, prefix + "attn.to_query_kv")
+    if cv.has_prefix(sd, prefix + "attn.gate"):
+        p["attn"]["gate"] = cv._np(sd[prefix + "attn.gate"])
+    return p
+
+
 def dit_from_state_dict(sd, cfg: DiTConfig):
     blocks = []
     for i in range(cfg.depth):

@@ -515,6 +515,58 @@ def mmdit_cfg_inference(params, cfg: MMDiTConfig, x, t, encoder_hidden_states,
     return unpatchify(out, cfg.patch_size, cfg.out_ch, gh, gw)
 
 
+def mmdit_uncond_xonly(params, cfg: MMDiTConfig, x, t):
+    """Unconditional CFG branch with the context stream REMOVED.
+
+    The sampler's uncond call is always fully masked
+    (rectified_flow.py:283-287: mask = zeros) — masked context keys get a
+    -inf score bias, softmax weight exactly 0.0, and the final layer reads
+    only the x stream, so the joint pass's entire context computation is
+    observably dead. Dropping it shrinks the sequence 768 -> 256 @256px:
+    the uncond half of CFG costs ~1/3 of a cond pass (attention 1/9, mlp
+    1/3) instead of the reference's full second forward
+    (mmdit.py:1117-1163). Bit-equivalent to
+    ``mmdit_cfg_inference(..., None, mask=zeros)`` — test-pinned.
+
+    Keeps uncond_y (it enters through the conditioning vector, which this
+    path still applies); uncond_c would only matter under a non-zero mask.
+    """
+    assert cfg.register_length == 0, \
+        "register tokens are unmasked context keys — x-only path invalid"
+    B, h, w, _ = x.shape
+    gh, gw = h // cfg.patch_size, w // cfg.patch_size
+    ti = jnp.clip(jnp.floor(t * 1000.0), 0, 999).astype(jnp.int32)
+    xt = patch_embed(params["x_embedder"], x, cfg.patch_size)
+    xt = xt + crop_pos_embed(params["pos_embed"], cfg.pos_embed_max_size,
+                             gh, gw).astype(xt.dtype)
+    c = timestep_embedder(params["t_embedder"], ti).astype(xt.dtype)
+    if cfg.sd3_cond_pooling and "uncond_y" in params:
+        c = c + params["uncond_y"].astype(c.dtype)
+
+    def x_only_block(bp, cx):
+        x_qkv, x_inter = dismantled_pre_attention(bp["x_block"], cfg, cx, c)
+        q, k, v = x_qkv
+        from selftoktokenizer_tpu.ops import flash_attention as fa
+
+        if cfg.use_flash_attention and fa.supported(q, k):
+            attn = fa.flash_sdpa_key_mask(q, k, v)
+        else:
+            attn = sdpa(q, k, v)
+        b, nh, L, d = attn.shape
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, L, nh * d)
+        return dismantled_post_attention(bp["x_block"], attn, x_inter)
+
+    def body(cx, bp):
+        return x_only_block(bp, cx), None
+
+    if cfg.use_checkpoint:
+        body = jax.checkpoint(body)
+    xt, _ = jax.lax.scan(body, xt, params["joint_blocks"])
+    xt = x_only_block(params["last_block"], xt)
+    out = final_layer_apply(params["final_layer"], xt, c)
+    return unpatchify(out, cfg.patch_size, cfg.out_ch, gh, gw)
+
+
 def mmdit_cfg_batched(params, cfg: MMDiTConfig, x, t, encoder_hidden_states,
                       mask, ctx_mods=None):
     """CFG cond+uncond in ONE trunk pass over a 2B batch.

@@ -281,13 +281,16 @@ class SelftokPipeline:
         uncond_fn = cfg_pair_fn = None
         if self.cfg_scale != 1.0:
             if self.tcfg.decoder.register_length == 0:
-                from selftoktokenizer_tpu.models.mmdit import mmdit_cfg_batched
+                # the sampler's uncond branch is fully masked, so the
+                # context stream is observably dead — run the x-only trunk
+                # (~1/3 of a cond pass) instead of the reference's full
+                # second forward
+                from selftoktokenizer_tpu.models.mmdit import mmdit_uncond_xonly
 
-                def cfg_pair_fn(x, t, e, mask):
-                    vc, vu = mmdit_cfg_batched(
-                        mp, self.tcfg.decoder, x.astype(dd), t, e.astype(dd),
-                        mask, ctx_mods=mods)
-                    return vc.astype(jnp.float32), vu.astype(jnp.float32)
+                def uncond_fn(x, t, e, mask):
+                    v = mmdit_uncond_xonly(mp, self.tcfg.decoder,
+                                           x.astype(dd), t)
+                    return v.astype(jnp.float32)
             else:
                 def uncond_fn(x, t, e, mask):
                     v = mmdit_cfg_inference(

@@ -265,6 +265,34 @@ def test_cfg_batched_equals_sequential():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_uncond_xonly_equals_full_masked_pass():
+    """mmdit_uncond_xonly (context stream dropped) must equal
+    mmdit_cfg_inference with the all-zero mask the sampler passes — masked
+    keys have exactly-zero softmax weight, so the 3x-cheaper path is exact
+    (incl. with an uncond_y buffer present)."""
+    from selftoktokenizer_tpu.models.mmdit import mmdit_uncond_xonly
+
+    for pooling, seed in ((None, 10), ("last", 11)):
+        m = build_ref_mmdit(seed=seed, sd3_cond_pooling=pooling)
+        cfg = jax_cfg()
+        import dataclasses
+        cfg = dataclasses.replace(cfg, sd3_cond_pooling=pooling)
+        params = mmdit_from_state_dict(_np_sd(m), cfg)
+        if pooling:
+            params["uncond_y"] = jnp.asarray(
+                np.random.default_rng(1).standard_normal(
+                    (1, HIDDEN)).astype(np.float32))
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(rng.standard_normal(
+            (2, LATENT, LATENT, 16)).astype(np.float32))
+        t = jnp.asarray([0.5, 0.9], jnp.float32)
+        want = mmdit_cfg_inference(params, cfg, x, t, None,
+                                   mask=jnp.zeros((2, K), bool))
+        got = mmdit_uncond_xonly(params, cfg, x, t)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_cfg_sampler_batched_equals_sequential_loop():
     """Full multi-step CFG sampling: p_sample_loop with cfg_pair_fn ==
     p_sample_loop with the sequential uncond_fn/model_fn pair."""
