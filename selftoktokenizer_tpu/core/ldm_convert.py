@@ -103,7 +103,8 @@ def open_clip_state_dict(checkpoint, num_hidden_layers=23):
         lambda m: _TEXTENC_PROTECTED[m.group(0)], s)
     out = {}
     for k, v in checkpoint.items():
-        if f"resblocks.{num_hidden_layers}" in k:
+        # exact layer index only ("resblocks.2." must not drop 20/21/...)
+        if f"resblocks.{num_hidden_layers}." in k:
             continue
         if k in _TEXTENC_CONVERSION:
             out[_TEXTENC_CONVERSION[k]] = v

@@ -150,19 +150,32 @@ class TarShardLoader:
                             continue
                         yield f"{base}/{m.name}", f.read()
 
+        # bounded sliding window of decode futures: Executor.map would drain
+        # members() eagerly (every shard's compressed bytes in memory at
+        # once); capping in-flight work keeps the stream truly sequential
+        def decoded():
+            from collections import deque
+            window = max(2 * self.n_threads, self.batch)
+            pending = deque()
+            with ThreadPoolExecutor(self.n_threads) as pool:
+                for item in members():
+                    pending.append(pool.submit(self._decode, item))
+                    if len(pending) >= window:
+                        yield pending.popleft().result()
+                while pending:
+                    yield pending.popleft().result()
+
         imgs, keys = [], []
-        with ThreadPoolExecutor(self.n_threads) as pool:
-            for name, arr in pool.map(self._decode, members(),
-                                      chunksize=self.batch):
-                if arr is None:
-                    self._failed += 1
-                    continue
-                self._decoded += 1
-                imgs.append(arr)
-                keys.append(name)
-                if len(imgs) == self.batch:
-                    yield np.concatenate(imgs), keys
-                    imgs, keys = [], []
+        for name, arr in decoded():
+            if arr is None:
+                self._failed += 1
+                continue
+            self._decoded += 1
+            imgs.append(arr)
+            keys.append(name)
+            if len(imgs) == self.batch:
+                yield np.concatenate(imgs), keys
+                imgs, keys = [], []
         if imgs:
             yield np.concatenate(imgs), keys
 

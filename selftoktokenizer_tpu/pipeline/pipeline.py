@@ -278,7 +278,10 @@ class SelftokPipeline:
                             ctx_mods=mods)
             return v.astype(jnp.float32)
 
-        uncond_fn = cfg_pair_fn = None
+        # (the batched cond+uncond trunk, mmdit_cfg_batched, measured SLOWER
+        # than sequential on-chip — 2.32x vs 2.0x non-CFG — so the pipeline
+        # wires only the x-only uncond path; see docs/ARCHITECTURE.md)
+        uncond_fn = None
         if self.cfg_scale != 1.0:
             if self.tcfg.decoder.register_length == 0:
                 # the sampler's uncond branch is fully masked, so the
@@ -305,7 +308,7 @@ class SelftokPipeline:
                 model_fn, self.sched, noise, ehs,
                 step_k=self.step_k if self.cond_vary else None, K=self.K,
                 cfg_scale=self.cfg_scale, uncond_fn=uncond_fn,
-                cfg_pair_fn=cfg_pair_fn, super_mask=super_mask,
+                super_mask=super_mask,
                 parameterization=self.parameterization)
         else:
             # Bucketed decode: tokens are diffusion-ordered and the per-step

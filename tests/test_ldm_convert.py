@@ -222,3 +222,17 @@ def test_merge_motion_lora_matches_reference():
     np.testing.assert_allclose(got["motion_module.attn.to_out.0.weight"],
                                attn.to_out[0].weight.detach().numpy(),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_open_clip_layer_drop_exact_index():
+    """Regression: the truncated-layer drop must match the exact index —
+    matching "resblocks.2" as a substring also hit 20/21/22 and silently
+    discarded most of a tall text tower."""
+    pre = "cond_stage_model.model.transformer."
+    ckpt = {f"{pre}resblocks.{i}.ln_1.weight": np.full((4,), float(i))
+            for i in (0, 1, 2, 20, 21, 22)}
+    out = open_clip_state_dict(ckpt, num_hidden_layers=2)
+    expect = {f"text_model.encoder.layers.{i}.layer_norm1.weight"
+              for i in (0, 1, 20, 21, 22)}
+    assert expect <= set(out)
+    assert not any(".layers.2." in k for k in out)

@@ -139,3 +139,25 @@ def test_loader_counts_bad_files(img_dir, tmp_path):
     total = sum(b.shape[0] for b in loader)
     assert total == 1
     assert loader.stats()["failed"] == 1
+
+
+def test_tar_shard_loader_streams_lazily(img_dir, tmp_path):
+    """Regression: the decode pool must not drain the member generator
+    eagerly (Executor.map held every shard's compressed bytes in memory
+    before the first batch). With a later shard missing on disk, a lazy
+    stream still yields the first shard's batches before failing."""
+    import tarfile
+
+    from selftoktokenizer_tpu.data.native import TarShardLoader
+
+    sp = str(tmp_path / "first.tar")
+    with tarfile.open(sp, "w") as tf:
+        for p in img_dir:
+            tf.add(p, arcname=os.path.basename(p))
+    missing = str(tmp_path / "never-written.tar")
+    it = iter(TarShardLoader([sp, missing], size=64, batch=2, n_threads=1))
+    imgs, names = next(it)  # eager ingestion raised FileNotFoundError here
+    assert imgs.shape[0] == 2
+    with pytest.raises(FileNotFoundError):
+        for _ in it:
+            pass

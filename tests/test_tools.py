@@ -159,3 +159,24 @@ def test_smoke_tool(tmp_path):
     assert os.path.exists(os.path.join(out_dir, "re_0_64.png"))
     toks = np.load(os.path.join(out_dir, "token.npy"))
     assert toks.shape == (1, 8)
+
+
+def test_tokenize_corpus_tar_limit(img_dir, tmp_path):
+    """Regression: --limit must bound tar-shard corpora too (it was only
+    applied in the loose-image branch)."""
+    import tarfile
+
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    files = sorted(os.listdir(img_dir))
+    with tarfile.open(str(shard_dir / "s0.tar"), "w") as tf:
+        for name in files:
+            tf.add(os.path.join(img_dir, name), arcname=name)
+    out_file = str(tmp_path / "toks_lim.npz")
+    out = _run(["tools/tokenize_corpus.py", "--yml-path", TINY_YML,
+                "--data-dir", str(shard_dir), "--out", out_file,
+                "--data_size", "64", "--batch-size", "4", "--limit", "5"])
+    stats = json.loads(out.strip().splitlines()[-1])
+    assert stats["n"] == 5
+    data = np.load(out_file, allow_pickle=True)
+    assert data["tokens"].shape[0] == 5

@@ -44,6 +44,17 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
+    if args.pretrained and os.path.isdir(args.pretrained):
+        # an Orbax directory has no torch-format source to load into the
+        # reference module — falling through to the random-weight branch
+        # would overwrite the restored encoder and "certify" a
+        # random-vs-random comparison
+        raise SystemExit(
+            f"--pretrained {args.pretrained} is an Orbax checkpoint "
+            "directory; conformance compares against the torch reference "
+            "and needs the original .pth/.safetensors it was converted "
+            "from — pass that file instead")
+
     import jax
 
     if jax.devices()[0].platform != "tpu":
@@ -94,7 +105,7 @@ def main():
         diti=diti, pos_embed_max_size=tcfg.encoder.pos_embed_max_size,
         qformer_mode="dual", **spec, **enc_extra)
     enc.eval()
-    if args.pretrained and not os.path.isdir(args.pretrained):
+    if args.pretrained:
         from selftoktokenizer_tpu.pipeline.pipeline import load_torch_checkpoint
 
         sd_full = load_torch_checkpoint(args.pretrained)

@@ -75,8 +75,15 @@ def main():
         from selftoktokenizer_tpu.data.native import TarShardLoader
 
         def gen():
+            seen = 0
             for imgs, keys in TarShardLoader(shards, size=args.data_size,
                                              batch=args.batch_size):
+                if args.limit and seen + imgs.shape[0] >= args.limit:
+                    take = args.limit - seen
+                    if take > 0:
+                        yield imgs[:take], np.asarray(keys[:take])
+                    return
+                seen += imgs.shape[0]
                 yield imgs, np.asarray(keys)
         batches = gen()
     elif native_available():

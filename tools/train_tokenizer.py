@@ -110,14 +110,24 @@ def main():
     ).astype(jnp.float32))
 
     latent = args.data_size // 8
-    steps_per_epoch = 0
+    # one-element holder: the shard branch only learns its epoch length
+    # after the first full pass over the tars
+    steps_per_epoch = [0]
+    # every batches() takes skip=N: resume realigns the deterministic data
+    # stream by draining N batches WITHOUT running the on-device VAE encode
+    # (a bare `next()` loop would replay the full encode work of the skipped
+    # steps — hours of device time at real resume points)
     if args.synthetic or not args.data_dir:
-        def batches():
+        def batches(skip=0):
             rng = np.random.default_rng(0)
+            n = 0
             while True:
-                yield rng.standard_normal(
+                arr = rng.standard_normal(
                     (args.batch_size, latent, latent, 16)).astype(np.float32)
-        batch_iter = batches()
+                n += 1
+                if n <= skip:
+                    continue
+                yield arr
     else:
         from selftoktokenizer_tpu.data.native import (
             NativeImageLoader, TarShardLoader, native_available)
@@ -131,26 +141,32 @@ def main():
             shards = shards[lo:hi]
             hf_logger.info(f"tar shards: {len(shards)} (this host)")
 
-            def batches():
+            def batches(skip=0):
+                n = 0
                 while True:
                     yielded = 0
                     for imgs, _ in TarShardLoader(
                             shards, size=args.data_size,
                             batch=args.batch_size):
                         if imgs.shape[0] == args.batch_size:
-                            yield vae_encode(vae_params, jnp.asarray(imgs))
                             yielded += 1
+                            n += 1
+                            if n <= skip:
+                                continue
+                            yield vae_encode(vae_params, jnp.asarray(imgs))
                     if yielded == 0:
                         raise RuntimeError(
                             f"no full batch of {args.batch_size} decodable "
                             f"images in {len(shards)} shards")
-            batch_iter = batches()
+                    # epoch length = full batches per pass over the shards
+                    steps_per_epoch[0] = steps_per_epoch[0] or yielded
         else:
             paths = walk_all_files(args.data_dir, (".jpg", ".jpeg", ".png"))
             assert paths, f"no images or .tar shards in {args.data_dir}"
-            steps_per_epoch = max(1, len(paths) // args.batch_size)
+            steps_per_epoch[0] = max(1, len(paths) // args.batch_size)
 
-            def batches():
+            def batches(skip=0):
+                n = 0
                 while True:
                     if native_available():
                         it = NativeImageLoader(paths, size=args.data_size,
@@ -164,23 +180,24 @@ def main():
                     yielded = 0
                     for imgs in it:
                         if imgs.shape[0] == args.batch_size:
+                            yielded += 1
+                            n += 1
+                            if n <= skip:
+                                continue
                             # keep latents on device (no host round-trip)
                             yield vae_encode(vae_params, jnp.asarray(imgs))
-                            yielded += 1
                     if yielded == 0:
                         raise RuntimeError(
                             f"no full batch of {args.batch_size} decodable "
                             f"images in {args.data_dir} ({len(paths)} files) "
                             "— lower --batch-size or check the corpus")
-            batch_iter = batches()
 
     assert start < args.steps, \
         f"--resume-from-steps {start} >= --steps {args.steps}: nothing to do"
     step_fn = jax.jit(lambda s, b, r: train_step(s, opt, tcfg, tc, b, r))
     meter = AverageMeter("loss")
     # realign the deterministic data stream with the uninterrupted run
-    for _ in range(start):
-        next(batch_iter)
+    batch_iter = batches(skip=start)
     t0 = time.time()
     with jax.set_mesh(mesh):
         for i in range(start, args.steps):
@@ -198,8 +215,8 @@ def main():
                 meter.reset()
             hit_interval = args.ckpt_interval and \
                 (i + 1) % args.ckpt_interval == 0
-            hit_epoch = args.save_per_epochs and steps_per_epoch and \
-                (i + 1) % (steps_per_epoch * args.save_per_epochs) == 0
+            hit_epoch = args.save_per_epochs and steps_per_epoch[0] and \
+                (i + 1) % (steps_per_epoch[0] * args.save_per_epochs) == 0
             if hit_interval or hit_epoch:
                 save_train_state(
                     os.path.join(args.ckpt_dir, f"step_{i + 1}"), state)
