@@ -38,14 +38,23 @@ PASSES = {"highest": 6.0, "high": 3.0, "default": 1.0}
 REF_GPU_IMG_PER_S = 110.0   # derived anchor (band 90-130); see BASELINE.md
 
 
+def _sync(out):
+    # hard sync: fetch one element to the host. On the axon tunnel,
+    # block_until_ready alone can return before remote execution finishes
+    # (observed: a 0.166 s train step "measured" at 0.0037 s); a host fetch
+    # of an output buffer cannot.
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf.ravel()[0])
+
+
 def _rate(fn, iters=10, warm=1):
     for _ in range(warm):
         out = fn()
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn()
-    jax.block_until_ready(out)
+    _sync(out)
     return iters / (time.perf_counter() - t0)
 
 
@@ -122,6 +131,7 @@ def main():
         ren_sol = V5E_BF16_PEAK / ren_f
         sol["renderer_sol_img_per_s"] = round(ren_sol, 1)
         sol["renderer_sol_util"] = round(render_img_per_s / ren_sol, 3)
+        del rpipe  # free the renderer decoder before the 512px build below
     except Exception as e:
         render_img_per_s = f"error: {type(e).__name__}"
 
@@ -147,6 +157,16 @@ def main():
             extras["encode_k1024_images_per_s"] = round(
                 batch * _rate(lambda: kpipe.encoding(images)), 2)
             del kpipe
+
+        # 512px 50-step decode at B=2 (the measured throughput sweet spot:
+        # B=1 0.834 / B=2 0.966 / B=4 0.958 img/s on the chip)
+        if time.time() - t_start < BUDGET_S - 240:
+            from __graft_entry__ import _flagship_pipeline
+            pipe512 = _flagship_pipeline(datasize=512)
+            ids512 = pipe512.encoding(img512[:2])
+            extras["decode50_512px_images_per_s"] = round(
+                2 * _rate(lambda: pipe512.decoding(ids512), iters=2), 3)
+            del pipe512
     except Exception as e:
         extras["variants"] = f"error: {type(e).__name__}"
 

@@ -158,10 +158,13 @@ class VQState(NamedTuple):
 
 def vq_state_init(p, K: int) -> VQState:
     C, D = p["embed"].shape
+    # jnp.array (copy) not astype: if p["embed"] is already fp32, astype
+    # returns the SAME buffer and the state would alias params — illegal
+    # under jit(donate_argnums) ("same buffer donated twice")
     return VQState(
-        embed=p["embed"].astype(jnp.float32),
+        embed=jnp.array(p["embed"], jnp.float32),
         cluster_size=jnp.zeros((C,), jnp.float32),
-        embed_avg=p["embed"].astype(jnp.float32),
+        embed_avg=jnp.array(p["embed"], jnp.float32),
         timestep_p_over_c=jnp.full((K, C), 1.0 / C, jnp.float32),
         count=jnp.zeros((C,), jnp.float32),
         steps=jnp.zeros((), jnp.int32),

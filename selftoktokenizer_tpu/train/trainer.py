@@ -142,9 +142,12 @@ def train_step(state: TokenizerTrainState, opt, tcfg: TokenizerConfig,
     new_params = optax.apply_updates(state.params, updates)
 
     # the EMA-updated codebook is authoritative: write it back into params so
-    # eval/encode paths (which read params) see the fresh codebook
+    # eval/encode paths (which read params) see the fresh codebook. The +0
+    # forces a distinct output buffer: if params.embed and vq_state.embed
+    # aliased one buffer, jit(donate_argnums=0) over the state would reject
+    # the next call (same buffer donated twice).
     new_vq_state = aux["vq_state"]
-    new_params["encoder"]["quantizer"]["embed"] = new_vq_state.embed
+    new_params["encoder"]["quantizer"]["embed"] = new_vq_state.embed + 0
 
     ema = state.ema_params
     if ema is not None:

@@ -180,3 +180,15 @@ def test_tokenize_corpus_tar_limit(img_dir, tmp_path):
     assert stats["n"] == 5
     data = np.load(out_file, allow_pickle=True)
     assert data["tokens"].shape[0] == 5
+
+
+def test_bench_train_tool():
+    """Train-step bench: both attention variants time and report MFU keys
+    (CPU, tiny config; chip numbers in docs/ARCHITECTURE.md)."""
+    out = _run(["tools/bench_train.py", "--yml-path", TINY_YML,
+                "--depth", "2", "--batch-size", "2", "--data_size", "64",
+                "--iters", "1"], timeout=900)
+    stats = json.loads(out.strip().splitlines()[-1])
+    assert "flash_step_s" in stats and stats["flash_images_per_s"] > 0
+    assert "xla_attn_step_s" in stats
+    assert np.isfinite(stats["flash_loss"])

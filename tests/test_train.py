@@ -443,3 +443,22 @@ def test_vq_gumbel_stochastic_reference_semantics(monkeypatch):
                                atol=1e-5)
     np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-3,
                                atol=1e-4)
+
+
+def test_train_step_donation_safe(setup):
+    """The train state must stay donation-legal across steps: no two leaves
+    may alias one buffer (vq_state_init copies; train_step's codebook
+    write-back forces a fresh buffer). jit(donate_argnums=0) raises
+    "same buffer donated twice" if aliasing reappears."""
+    tcfg, params = setup
+    # copy: donating the state would otherwise delete the module-scoped
+    # fixture's param buffers out from under the other tests
+    params = jax.tree_util.tree_map(jnp.copy, params)
+    tc = TrainConfig(dit_lr=1e-4, token_lr=1e-4, ema_decay=0.99)
+    state, opt = make_train_state(params, tcfg, tc)
+    x = jax.random.normal(jax.random.PRNGKey(3), (4, 8, 8, 16))
+    step = jax.jit(lambda s, b, r: train_step(s, opt, tcfg, tc, b, r),
+                   donate_argnums=0)
+    s1, _ = step(state, x, jax.random.PRNGKey(4))
+    s2, logs = step(s1, x, jax.random.PRNGKey(5))
+    assert int(s2.step) == 2 and np.isfinite(float(logs["loss"]))

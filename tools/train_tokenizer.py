@@ -52,6 +52,12 @@ def main():
     p.add_argument("--synthetic", action="store_true",
                    help="random latents instead of images (perf/dev runs)")
     p.add_argument("--mesh-fsdp", type=int, default=1)
+    p.add_argument("--donate-state", action="store_true",
+                   help="donate the train state into each step — halves "
+                        "live optimizer-state HBM (required for the "
+                        "depth>=16 family members on a single 16 GB chip). "
+                        "Off by default: the axon remote AOT compiler "
+                        "rejects input/output aliasing at train-step scale.")
     args = p.parse_args()
 
     import jax
@@ -194,7 +200,8 @@ def main():
 
     assert start < args.steps, \
         f"--resume-from-steps {start} >= --steps {args.steps}: nothing to do"
-    step_fn = jax.jit(lambda s, b, r: train_step(s, opt, tcfg, tc, b, r))
+    step_fn = jax.jit(lambda s, b, r: train_step(s, opt, tcfg, tc, b, r),
+                      donate_argnums=(0,) if args.donate_state else ())
     meter = AverageMeter("loss")
     # realign the deterministic data stream with the uninterrupted run
     batch_iter = batches(skip=start)
