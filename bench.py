@@ -113,8 +113,22 @@ def main():
     except Exception as e:  # decode OOM etc. — still report encode
         decode_img_per_s = f"error: {type(e).__name__}"
 
+    # --- CFG decode: x-only uncond trunk (per-call static cfg_scale; the
+    # reference runs a full second forward = 2.0x non-CFG cost). The cost
+    # ratio is the headline: target <=1.9x, measured ~1.50x.
+    try:
+        if not isinstance(decode_img_per_s, float):
+            raise RuntimeError("plain decode unavailable")
+        cfg_rate = dec_batch * _rate(
+            lambda: pipe.decoding(dids, cfg_scale=4.0), iters=3)
+        extras["decode50_cfg_images_per_s"] = round(cfg_rate, 3)
+        extras["cfg_cost_ratio"] = round(decode_img_per_s / cfg_rate, 2)
+    except Exception as e:
+        extras["decode50_cfg"] = f"error: {type(e).__name__}"
+
     # --- one-step renderer decode ------------------------------------------
     render_img_per_s = None
+    rpipe = None
     try:
         if time.time() - t_start > BUDGET_S:
             raise TimeoutError("bench budget")
@@ -131,9 +145,10 @@ def main():
         ren_sol = V5E_BF16_PEAK / ren_f
         sol["renderer_sol_img_per_s"] = round(ren_sol, 1)
         sol["renderer_sol_util"] = round(render_img_per_s / ren_sol, 3)
-        del rpipe  # free the renderer decoder before the 512px build below
     except Exception as e:
         render_img_per_s = f"error: {type(e).__name__}"
+    finally:
+        del rpipe  # free the renderer decoder before the 512px builds below
 
     # --- config variants: K=1024 @256px and 512px (BASELINE workloads 3-4
     # shapes). 512px reuses the flagship params (the shipped encoder's
@@ -143,8 +158,12 @@ def main():
     try:
         img512 = jnp.asarray(rng.uniform(-1, 1, (4, 512, 512, 3)),
                              jnp.float32)
-        extras["encode_512px_images_per_s"] = round(
-            4 * _rate(lambda: pipe.encoding(img512), iters=5), 2)
+        r512 = 4 * _rate(lambda: pipe.encoding(img512), iters=5)
+        extras["encode_512px_images_per_s"] = round(r512, 2)
+        vae512_f, enc512_f = F.encode_flops(pipe.tcfg, 512)
+        sol512 = 1.0 / (vae512_f / V5E_BF16_PEAK
+                        + enc512_f / (V5E_BF16_PEAK / PASSES["highest"]))
+        sol["encode_512px_sol_util"] = round(r512 / sol512, 3)
 
         if time.time() - t_start < BUDGET_S:
             from selftoktokenizer_tpu.core.config import load_config
@@ -154,18 +173,29 @@ def main():
             kcfg.tokenizer.params["k"] = 1024
             kcfg.tokenizer.params["k_per_stage"] = "384,368,144,96,32"
             kpipe = SelftokPipeline(kcfg, datasize=256, encode_only=True)
-            extras["encode_k1024_images_per_s"] = round(
-                batch * _rate(lambda: kpipe.encoding(images)), 2)
+            rk = batch * _rate(lambda: kpipe.encoding(images))
+            extras["encode_k1024_images_per_s"] = round(rk, 2)
+            kvae_f, kenc_f = F.encode_flops(kpipe.tcfg, 256)
+            ksol = 1.0 / (kvae_f / V5E_BF16_PEAK
+                          + kenc_f / (V5E_BF16_PEAK / PASSES["highest"]))
+            sol["encode_k1024_sol_util"] = round(rk / ksol, 3)
             del kpipe
 
         # 512px 50-step decode at B=2 (the measured throughput sweet spot:
-        # B=1 0.834 / B=2 0.966 / B=4 0.958 img/s on the chip)
+        # B=1 0.834 / B=2 0.966 / B=4 0.958 img/s on the chip). The encode
+        # path is shape-polymorphic, so ids come from the flagship pipeline;
+        # it is then FREED before the 512px decoder builds — two live
+        # 2B-param bf16 decoders plus 4608-token decode activations do not
+        # fit the 16 GB chip (observed JaxRuntimeError when pipe stayed live)
         if time.time() - t_start < BUDGET_S - 240:
-            from __graft_entry__ import _flagship_pipeline
+            ids512 = pipe.encoding(img512[:2])
+            del pipe
             pipe512 = _flagship_pipeline(datasize=512)
-            ids512 = pipe512.encoding(img512[:2])
-            extras["decode50_512px_images_per_s"] = round(
-                2 * _rate(lambda: pipe512.decoding(ids512), iters=2), 3)
+            rd512 = 2 * _rate(lambda: pipe512.decoding(ids512), iters=2)
+            extras["decode50_512px_images_per_s"] = round(rd512, 3)
+            d512_f = F.decode50_flops(pipe512.tcfg, 512, steps=pipe512.steps)
+            sol["decode50_512px_sol_util"] = round(
+                rd512 / (V5E_BF16_PEAK / d512_f), 3)
             del pipe512
     except Exception as e:
         extras["variants"] = f"error: {type(e).__name__}"

@@ -170,7 +170,8 @@ class SelftokPipeline:
         self._encode_jit = jax.jit(self._encode_impl,
                                    static_argnames=("precision",))
         self._margins_jit = jax.jit(self._margins_impl)
-        self._decode_jit = jax.jit(self._decode_impl)
+        self._decode_jit = jax.jit(self._decode_impl,
+                                   static_argnames=("cfg_scale",))
         self._render_jit = jax.jit(self._render_impl)
         self._latent_decode_jit = jax.jit(self._latent_decode_impl)
 
@@ -188,9 +189,15 @@ class SelftokPipeline:
         return self._margins_jit(self.params["encoder"], self.vae_params,
                                  jnp.asarray(images))
 
-    def decoding(self, ids, rng=None):
+    def decoding(self, ids, rng=None, cfg_scale=None):
         """ids: [B,K] int -> reconstructed images NHWC float [0,1]
-        (SelftokPipeline.decoding:227-294: 50-step diffusion decode)."""
+        (SelftokPipeline.decoding:227-294: 50-step diffusion decode).
+
+        cfg_scale: per-call classifier-free-guidance override (None = the
+        pipeline's init value). A STATIC jit argument, so one set of decoder
+        weights serves CFG and non-CFG requests without a rebuild — each
+        distinct scale keys its own trace (the bound-method trace-cache trap
+        makes mutating self.cfg_scale unsafe instead)."""
         ids = jnp.asarray(ids)
         if rng is None:
             rng = jax.random.PRNGKey(0)
@@ -198,7 +205,8 @@ class SelftokPipeline:
         noise = jax.random.normal(rng, (ids.shape[0], latent, latent, 16),
                                   jnp.float32)
         mods = self._ctx_mods if self._ctx_mods is not None else 0
-        return self._decode_jit(self.params, mods, self.vae_params, ids, noise)
+        return self._decode_jit(self.params, mods, self.vae_params, ids,
+                                noise, cfg_scale=cfg_scale)
 
     def decoding_with_renderer(self, ids):
         """One-step renderer decode (SelftokPipeline.decoding_with_renderer
@@ -244,7 +252,9 @@ class SelftokPipeline:
             outs_q = layer_norm(outs_q, **enc_params["final_layer_norm3"])
         return outs_q
 
-    def _decode_impl(self, params, ctx_mods, vae_params, ids, noise):
+    def _decode_impl(self, params, ctx_mods, vae_params, ids, noise,
+                     cfg_scale=None):
+        cs = self.cfg_scale if cfg_scale is None else cfg_scale
         outs_q = self._tokens_to_context(params["encoder"], ids)
         n_tok = outs_q.shape[1]
         super_mask = None
@@ -282,7 +292,7 @@ class SelftokPipeline:
         # than sequential on-chip — 2.32x vs 2.0x non-CFG — so the pipeline
         # wires only the x-only uncond path; see docs/ARCHITECTURE.md)
         uncond_fn = None
-        if self.cfg_scale != 1.0:
+        if cs != 1.0:
             if self.tcfg.decoder.register_length == 0:
                 # the sampler's uncond branch is fully masked, so the
                 # context stream is observably dead — run the x-only trunk
@@ -302,12 +312,12 @@ class SelftokPipeline:
                     return v.astype(jnp.float32)
 
         segments = self._decode_segments()
-        if segments is None or self.cfg_scale != 1.0 or not self.cond_vary \
+        if segments is None or cs != 1.0 or not self.cond_vary \
                 or super_mask is not None:
             pred_x0 = flow_mod.p_sample_loop(
                 model_fn, self.sched, noise, ehs,
                 step_k=self.step_k if self.cond_vary else None, K=self.K,
-                cfg_scale=self.cfg_scale, uncond_fn=uncond_fn,
+                cfg_scale=cs, uncond_fn=uncond_fn,
                 super_mask=super_mask,
                 parameterization=self.parameterization)
         else:

@@ -142,12 +142,14 @@ def train_step(state: TokenizerTrainState, opt, tcfg: TokenizerConfig,
     new_params = optax.apply_updates(state.params, updates)
 
     # the EMA-updated codebook is authoritative: write it back into params so
-    # eval/encode paths (which read params) see the fresh codebook. The +0
-    # forces a distinct output buffer: if params.embed and vq_state.embed
-    # aliased one buffer, jit(donate_argnums=0) over the state would reject
-    # the next call (same buffer donated twice).
+    # eval/encode paths (which read params) see the fresh codebook. The
+    # optimization_barrier forces a distinct output buffer: if params.embed
+    # and vq_state.embed aliased one buffer, jit(donate_argnums=0) over the
+    # state would reject the next call (same buffer donated twice) — and a
+    # bare `+ 0` can be folded away by XLA's algebraic simplifier.
     new_vq_state = aux["vq_state"]
-    new_params["encoder"]["quantizer"]["embed"] = new_vq_state.embed + 0
+    new_params["encoder"]["quantizer"]["embed"] = \
+        jax.lax.optimization_barrier(new_vq_state.embed)
 
     ema = state.ema_params
     if ema is not None:

@@ -83,9 +83,16 @@ def vae_decoder_flops(resolution, cfg=None):
     return f
 
 
-def qformer_encoder_flops(cfg):
-    """Dual-mode QformerEncoder (models/encoder.py EncoderConfig)."""
-    n = (cfg.input_size // cfg.patch_size) ** 2      # image tokens
+def qformer_encoder_flops(cfg, resolution=None):
+    """Dual-mode QformerEncoder (models/encoder.py EncoderConfig).
+
+    resolution: image pixels — the variable-size encode path processes a
+    (resolution/8)^2 latent grid, so the image-stream token count scales
+    with it; None uses the config's native input_size (256px -> 32)."""
+    if resolution is not None:
+        n = (resolution // 8 // cfg.patch_size) ** 2
+    else:
+        n = (cfg.input_size // cfg.patch_size) ** 2  # image tokens
     dx = cfg.hidden_size
     dq = cfg.query_dim
     K = cfg.K
@@ -130,7 +137,7 @@ def mmdit_step_flops(cfg, n_x=None, Lc=None, cfg_batched=False):
 def encode_flops(tcfg, resolution):
     """Full pipeline encode: VAE encoder (bf16) + Qformer encoder + VQ."""
     return (vae_encoder_flops(resolution),
-            qformer_encoder_flops(tcfg.encoder))
+            qformer_encoder_flops(tcfg.encoder, resolution=resolution))
 
 
 def decode50_flops(tcfg, resolution, steps=50, cfg_scale=1.0):

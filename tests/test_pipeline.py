@@ -97,6 +97,17 @@ def test_pipeline_cfg_scale(tiny_cfg):
     out = pipe.decoding(ids)
     assert out.shape == (1, 64, 64, 3)
 
+    # per-call override: a cfg_scale=1.0 pipeline (same seed -> same params)
+    # asked for scale 2.0 at call time must produce the identical images —
+    # one set of decoder weights serves CFG and non-CFG requests
+    base = SelftokPipeline(tiny_cfg, datasize=64, steps=2)
+    np.testing.assert_array_equal(
+        np.asarray(base.decoding(ids, cfg_scale=2.0)), np.asarray(out))
+    # and overriding back to 1.0 matches the plain decode
+    np.testing.assert_array_equal(
+        np.asarray(base.decoding(ids, cfg_scale=1.0)),
+        np.asarray(base.decoding(ids)))
+
 
 def test_tokenizer_state_dict_prefixes(tiny_cfg):
     """'module.'-prefixed (DDP) checkpoints convert identically."""

@@ -151,3 +151,47 @@ def test_retrieval_metrics():
                     [0.1, 0.0, 0.9, 0.8],
                     [0.0, 0.1, 0.8, 0.9]])
     assert mean_average_precision(sim, labels, labels) == 1.0
+
+
+def test_bench_variant_roofline_expressions():
+    """The bench.py variant-path speed-of-light expressions (512px encode,
+    K=1024 encode, 512px decode) must evaluate against the real shipped
+    config — attribute errors here would break the driver's round-end
+    bench run on the chip."""
+    from selftoktokenizer_tpu.core.config import load_config
+    from selftoktokenizer_tpu.models.tokenizer import (
+        tokenizer_config_from_params)
+    from selftoktokenizer_tpu.utils import flops as F
+
+    cfg = load_config("/root/reference/configs/res256/256-eval.yml")
+    tcfg = tokenizer_config_from_params(dict(cfg.tokenizer.params))
+    peak, passes = 197e12, 6.0
+
+    vae512_f, enc512_f = F.encode_flops(tcfg, 512)
+    sol512 = 1.0 / (vae512_f / peak + enc512_f / (peak / passes))
+    assert 0 < sol512 < 1e4
+    # the variable-size encode path sees 4x the image-stream tokens at
+    # 512px; the encoder FLOPs must scale with resolution, not sit at the
+    # config's native 256px count. The query stream (K=512 x dq=512)
+    # dominates this encoder (image stream is 64-wide), so the growth is
+    # ~1.3x, not 4x — but it must not be 1.0x.
+    vae256_f, enc256_f = F.encode_flops(tcfg, 256)
+    assert enc512_f > 1.2 * enc256_f
+    assert vae512_f > 3.9 * vae256_f
+
+    kcfg = load_config("/root/reference/configs/res256/256-eval.yml")
+    kcfg.tokenizer.params["k"] = 1024
+    kcfg.tokenizer.params["k_per_stage"] = "384,368,144,96,32"
+    ktcfg = tokenizer_config_from_params(dict(kcfg.tokenizer.params))
+    kvae_f, kenc_f = F.encode_flops(ktcfg, 256)
+    ksol = 1.0 / (kvae_f / peak + kenc_f / (peak / passes))
+    # K=1024 doubles the query-stream work: strictly slower ceiling than 512
+    vae_f, enc_f = F.encode_flops(tcfg, 256)
+    sol256 = 1.0 / (vae_f / peak + enc_f / (peak / passes))
+    assert 0 < ksol < sol256
+
+    d512_f = F.decode50_flops(tcfg, 512, steps=50)
+    d256_f = F.decode50_flops(tcfg, 256, steps=50)
+    # 4x patches -> ~2x total tokens; the MLP-dominated mix scales ~linearly
+    # in L (attention's L^2 term is a small share at hidden 1536)
+    assert d512_f > 2 * d256_f

@@ -41,19 +41,24 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--yml-path",
                    default="/root/reference/configs/res256/256-eval.yml")
-    p.add_argument("--depth", type=int, default=16,
+    p.add_argument("--depth", type=int, default=12,
                    help="decoder depth override (full config: 24; width "
-                        "follows as 64*depth)")
+                        "follows as 64*depth). 12 is the largest member "
+                        "that fits a 16 GB chip without state donation "
+                        "(the documented single-chip numbers); 16 needs "
+                        "--donate or fsdp>=2")
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--data_size", type=int, default=256)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--no-flash-ab", action="store_true",
                    help="skip the XLA-attention A/B recompile")
-    p.add_argument("--no-donate", action="store_true",
-                   help="disable state buffer donation (the axon remote "
-                        "AOT compiler 500s on input/output aliasing at "
-                        "train-step HLO scale; donation halves live "
-                        "optimizer-state memory and is the default)")
+    p.add_argument("--donate", action="store_true",
+                   help="donate the train state into each step — halves "
+                        "live optimizer-state HBM (fits depth>=16 on one "
+                        "16 GB chip). Off by default: the axon remote AOT "
+                        "compiler rejects input/output aliasing at "
+                        "train-step HLO scale, so the default must work "
+                        "on the measurement platform")
     args = p.parse_args()
 
     import jax
@@ -98,13 +103,13 @@ def main():
     train_flops = 3.0 * fwd * B
 
     def timed(tcfg_v, label):
-        # fresh state per variant, and donate it into the step: fp32 Adam
-        # state for the depth-16 member is ~4.8 GB — keeping a second live
-        # copy (no donation) is itself an OOM on a 16 GB chip
+        # fresh state per variant; --donate halves live optimizer HBM (the
+        # depth-16 member's fp32 Adam state is ~4.8 GB) where the compiler
+        # accepts input/output aliasing
         state, opt = make_train_state(
             tokenizer_init(jax.random.PRNGKey(0), tcfg_v), tcfg_v, tc)
         fn = jax.jit(lambda s, b, r: train_step(s, opt, tcfg_v, tc, b, r),
-                     donate_argnums=() if args.no_donate else (0,))
+                     donate_argnums=(0,) if args.donate else ())
         r0 = jax.random.PRNGKey(1)
         s, logs = fn(state, batch, r0)   # compile + 1 step
         float(s.step)                    # host fetch = hard sync
