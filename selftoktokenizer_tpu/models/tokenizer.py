@@ -129,19 +129,24 @@ def resolution_shift(latent_h, latent_w):
 
 def tokenizer_loss(params, cfg: TokenizerConfig, x, rng, vq_state=None,
                    full_tokens=False, train_quantizer=True,
-                   ema_encoder_params=None, L2_lr=0.0):
+                   ema_encoder_params=None, L2_lr=0.0, t=None, noise=None):
     """Training forward (image_tokenizer.py:203-296): sample t, map to token
     depth k, encode+quantize, flow-matching loss with CFG condition drop.
 
     x: NHWC latents [B,h,w,C]. Returns (loss, aux) where aux carries the new
     VQ EMA state and the log dict. Pure — thread vq_state through steps.
+    t / noise: optional pre-sampled values ([B] uniform pre-shift t,
+    x-shaped gaussian) replacing the rng draws — for deterministic
+    debugging and the golden comparison against the reference forward
+    (which draws them with torch rng, image_tokenizer.py:216, 261).
     """
     B, h, w, _ = x.shape
     shift = resolution_shift(h, w)
     diti = cfg.make_diti()
     r_t, r_noise, r_drop, r_react = jax.random.split(rng, 4)
 
-    t = jax.random.uniform(r_t, (B,))
+    if t is None:
+        t = jax.random.uniform(r_t, (B,))
     scale = 1000.0 if cfg.stages is not None else 1.0
     if full_tokens:
         k_batch = diti.to_indices(jnp.ones_like(t) * scale)
@@ -177,7 +182,8 @@ def tokenizer_loss(params, cfg: TokenizerConfig, x, rng, vq_state=None,
     drop_p = cfg.decoder.class_dropout_prob
     drop_ids = (jax.random.uniform(r_drop, (B,)) < drop_p) if drop_p > 0 else None
 
-    noise = jax.random.normal(r_noise, x.shape, x.dtype)
+    if noise is None:
+        noise = jax.random.normal(r_noise, x.shape, x.dtype)
 
     def model_fn(x_t, tt):
         return mmdit_apply(params["model"], cfg.decoder, x_t, tt, ehs,

@@ -59,7 +59,10 @@ ENC_MODELS = {
         query_heads=8, bidirectional=False, multires=True),
 }
 
-DIT_MODELS = ("MMDiT_XL", "MMDiT_XL_Renderer", "RenderDiT_XL")
+# a list, like ENC_MODELS is a dict: extensible at runtime (tiny test
+# variants register themselves the way the reference registers builders in
+# model_zoo.py DiT_models)
+DIT_MODELS = ["MMDiT_XL", "MMDiT_XL_Renderer", "RenderDiT_XL"]
 
 
 def _none_str(v):

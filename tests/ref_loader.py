@@ -168,3 +168,25 @@ def get_ref():
     if _CACHE is None:
         _CACHE = load_reference()
     return _CACHE
+
+
+def enliven_zero_init(m, std=0.05, seed=1234):
+    """Randomize every all-zero *parameter* of a reference torch module.
+
+    The reference zero-inits each DismantledBlock's adaLN stack
+    (sd3/mmdit.py:431-432; DiT final layers likewise), which makes a
+    freshly-constructed trunk an identity map: gates are 0, so attention,
+    MLP, modulation and mask plumbing contribute nothing to the output and
+    a golden comparison would never exercise them (verified: perturbing a
+    qkv weight leaves the forward bit-identical). Both frameworks consume
+    the same state dict, so parity holds for ANY weights — giving the zero
+    parameters small random values turns the goldens into live-trunk
+    comparisons. Buffers are left untouched."""
+    import torch
+
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in m.parameters():
+            if p.numel() and not bool(p.detach().abs().max() > 0):
+                p.copy_(torch.randn(p.shape, generator=g) * std)
+    return m

@@ -4,7 +4,7 @@ import numpy as np
 import torch
 import jax.numpy as jnp
 
-from tests.ref_loader import get_ref
+from tests.ref_loader import enliven_zero_init, get_ref
 from selftoktokenizer_tpu.models.dit import (
     DiTConfig, dit_apply, dit_forward_with_cfg, dit_from_state_dict)
 
@@ -18,7 +18,7 @@ def build_ref_dit(seed=0):
     m = models.DiT(input_size=8, patch_size=2, in_channels=4, hidden_size=64,
                    depth=2, num_heads=4, num_classes=10, learn_sigma=True)
     m.eval()
-    return m
+    return enliven_zero_init(m, seed=seed + 100)
 
 
 CFG = DiTConfig(input_size=8, patch_size=2, in_channels=4, hidden_size=64,

@@ -10,7 +10,7 @@ import torch
 import jax
 import jax.numpy as jnp
 
-from tests.ref_loader import get_ref
+from tests.ref_loader import enliven_zero_init, get_ref
 from tests import test_mmdit as tm
 from tests import test_encoder as te
 from selftoktokenizer_tpu.models import flow as jflow
@@ -75,6 +75,9 @@ def _decode_fixtures():
     mm.eval()
     with torch.no_grad():
         mm.pos_embed.copy_(torch.randn_like(mm.pos_embed) * 0.02)
+    # live-trunk golden: randomize the reference's zero-init adaLN gates so
+    # the decode loop exercises attention/MLP (see ref_loader)
+    enliven_zero_init(mm, seed=42)
     jcfg = tm.MMDiTConfig(
         depth=tm.DEPTH, K=8, patch_size=2, in_channels=16,
         pos_embed_max_size=tm.LATENT, num_patches=tm.LATENT * tm.LATENT,

@@ -4,7 +4,7 @@ import numpy as np
 import torch
 import jax.numpy as jnp
 
-from tests.ref_loader import get_ref
+from tests.ref_loader import enliven_zero_init, get_ref
 from selftoktokenizer_tpu.models.mmdit import (
     MMDiTConfig, mmdit_apply, mmdit_cfg_inference, mmdit_from_state_dict,
     renderer_apply, precompute_context_mods)
@@ -45,7 +45,10 @@ def build_ref_mmdit(renderer=False, time_adaln="pos_emb", seed=0,
     with torch.no_grad():
         if not renderer:
             m.pos_embed.copy_(torch.randn_like(m.pos_embed) * 0.02)
-    return m
+    # the reference zero-inits every block's adaLN gates -> an un-enlivened
+    # trunk is an identity map and the golden would never exercise
+    # attention/MLP/mask plumbing (see ref_loader.enliven_zero_init)
+    return enliven_zero_init(m, seed=seed + 100)
 
 
 def jax_cfg(renderer=False, time_adaln="pos_emb"):
@@ -416,3 +419,26 @@ def test_cfg_inference_cond_pooling_matches_reference():
             jnp.asarray(t), jnp.asarray(ehs), mask=jnp.asarray(mask, bool))
         got = np.asarray(got).transpose(0, 3, 1, 2)
         np.testing.assert_allclose(got, want.numpy(), rtol=2e-3, atol=2e-4)
+
+
+def test_golden_fixture_trunk_is_live():
+    """Guard against vacuous goldens: the reference zero-inits every
+    DismantledBlock adaLN stack, which makes a freshly-constructed trunk an
+    identity map (verified: perturbing qkv left the forward bit-identical).
+    build_ref_mmdit must enliven those gates — the forward must depend on
+    the context stream, or the golden comparisons above test nothing."""
+    m = build_ref_mmdit(seed=9)
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((1, 16, LATENT, LATENT)).astype(np.float32)
+    e1 = rng.standard_normal((1, K, ENC_HIDDEN)).astype(np.float32)
+    e2 = rng.standard_normal((1, K, ENC_HIDDEN)).astype(np.float32)
+    t = np.array([0.5], dtype=np.float32)
+    mask = np.ones((1, K), dtype=np.float32)
+    with torch.no_grad():
+        w1, _ = m(torch.from_numpy(x), torch.from_numpy(t),
+                  encoder_hidden_states=torch.from_numpy(e1),
+                  mask=torch.from_numpy(mask), context_see_xt=True)
+        w2, _ = m(torch.from_numpy(x), torch.from_numpy(t),
+                  encoder_hidden_states=torch.from_numpy(e2),
+                  mask=torch.from_numpy(mask), context_see_xt=True)
+    assert float((w1 - w2).abs().max()) > 1e-4

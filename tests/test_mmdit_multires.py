@@ -4,7 +4,7 @@ import numpy as np
 import torch
 import jax.numpy as jnp
 
-from tests.ref_loader import get_ref
+from tests.ref_loader import enliven_zero_init, get_ref
 from selftoktokenizer_tpu.models.mmdit import (
     MMDiTConfig, mmdit_from_state_dict, mmdit_multires_apply)
 
@@ -34,7 +34,7 @@ def build_ref_mmdit_mr(seed=0):
     m.eval()
     with torch.no_grad():
         m.pos_embed.copy_(torch.randn_like(m.pos_embed) * 0.02)
-    return m
+    return enliven_zero_init(m, seed=seed + 100)
 
 
 def test_mmdit_multires_matches_reference():

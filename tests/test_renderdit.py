@@ -4,7 +4,7 @@ import numpy as np
 import torch
 import jax.numpy as jnp
 
-from tests.ref_loader import get_ref
+from tests.ref_loader import enliven_zero_init, get_ref
 from selftoktokenizer_tpu.models.mmdit import (
     MMDiTConfig, mmdit_from_state_dict, renderdit_apply)
 
@@ -34,7 +34,7 @@ def build_ref_renderdit(seed=0):
         train_filter=None, freeze_filter=[], init_method=None,
         time_adaln="pos_emb", diti=diti, use_checkpoint=True)
     m.eval()
-    return m
+    return enliven_zero_init(m, seed=seed + 100)
 
 
 def test_renderdit_matches_reference():
