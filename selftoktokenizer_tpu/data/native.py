@@ -32,6 +32,16 @@ def _load():
             lib = ctypes.CDLL(p)
         except OSError:
             continue
+        # a stale prebuilt .so that predates a symbol must fall back to the
+        # PIL path, not AttributeError at first use (ctypes resolves symbols
+        # lazily on attribute access)
+        try:
+            for sym in ("stk_preprocess_file", "stk_preprocess_bytes",
+                        "stk_loader_create", "stk_loader_next",
+                        "stk_loader_destroy", "stk_loader_stats"):
+                getattr(lib, sym)
+        except AttributeError:
+            continue
         lib.stk_preprocess_file.restype = ctypes.c_int
         lib.stk_preprocess_file.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.POINTER(ctypes.c_float)]

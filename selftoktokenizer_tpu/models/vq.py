@@ -200,14 +200,6 @@ def _ema_entropy_from_ap(ap, onehot_ema, ratio_d, groups=64):
     return ent1, ent2
 
 
-def _calc_ema_entropy(dist, onehot_ema, ratio_d, groups=64):
-    """calc_ema_entropy on raw scaled distances [B, K, C] — softmax then
-    the `_ema_entropy_from_ap` core (kept for standalone use; the training
-    body shares one softmax across both entropy terms instead)."""
-    ap = jnp.mean(jax.nn.softmax(dist, axis=-1), axis=0)
-    return _ema_entropy_from_ap(ap, onehot_ema, ratio_d, groups)
-
-
 def vq_train_apply(p, state: VQState, x, cfg, rng=None, gumbel_noise=None):
     """Training forward + EMA codebook update.
 
@@ -331,6 +323,9 @@ def _vq_quantize_body(p, state: VQState, z, flat, x, cfg, rng, gumbel_noise):
         ids = jnp.argmax(dist / temp + noise, axis=-1)  # [1, B*K]
     else:
         ids = jnp.argmax(dist, axis=-1)  # [1, B*K]
+    # int32 regardless of jax_enable_x64: the continuous-warmup lax.cond
+    # pairs this branch with randint(int32) ids and requires equal avals
+    ids = ids.astype(jnp.int32)
     quantize = embed[ids.reshape(B, K)]
 
     # --- EMA statistics (global sums) -------------------------------------

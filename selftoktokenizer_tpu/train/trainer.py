@@ -113,6 +113,26 @@ def restore_train_state(path, like: TokenizerTrainState,
     knob (256-eval.yml:24)."""
     from selftoktokenizer_tpu.core.checkpoint import restore_checkpoint
 
+    if exclude_opt:
+        # the saved optimizer tree may not match the fresh one (a changed
+        # optimizer config is the very reason to exclude it) — a structure-
+        # checked restore with opt_state in the target would fail before the
+        # moments could be dropped, so restore raw and keep only the rest
+        raw = restore_checkpoint(path)
+        cast = lambda l, r: jnp.asarray(r, l.dtype)
+        ema = None
+        if like.ema_params is not None and raw.get("ema_params") is not None:
+            ema = jax.tree_util.tree_map(cast, like.ema_params,
+                                         raw["ema_params"])
+        return TokenizerTrainState(
+            params=jax.tree_util.tree_map(cast, like.params, raw["params"]),
+            opt_state=like.opt_state,
+            vq_state=vq_mod.VQState(
+                **{k: jnp.asarray(v) for k, v in raw["vq_state"].items()}),
+            ema_params=ema,
+            step=jnp.asarray(raw["step"], jnp.int32),
+        )
+
     target = {"params": like.params, "opt_state": like.opt_state,
               "vq_state": like.vq_state._asdict(), "step": like.step}
     if like.ema_params is not None:
@@ -120,7 +140,7 @@ def restore_train_state(path, like: TokenizerTrainState,
     tree = restore_checkpoint(path, like=target)
     return TokenizerTrainState(
         params=tree["params"],
-        opt_state=like.opt_state if exclude_opt else tree["opt_state"],
+        opt_state=tree["opt_state"],
         vq_state=vq_mod.VQState(**tree["vq_state"]),
         ema_params=tree.get("ema_params"),
         step=jnp.asarray(tree["step"], jnp.int32),

@@ -114,7 +114,7 @@ def qformer_encoder_flops(cfg, resolution=None):
     return f
 
 
-def mmdit_step_flops(cfg, n_x=None, Lc=None, cfg_batched=False):
+def mmdit_step_flops(cfg, n_x=None, Lc=None):
     """One MMDiT forward (models/mmdit.py MMDiTConfig): joint-attention DiT,
     depth blocks of [ctx + x] tokens at hidden 64*depth."""
     d = cfg.hidden_size
@@ -131,7 +131,7 @@ def mmdit_step_flops(cfg, n_x=None, Lc=None, cfg_batched=False):
     f += _linear(Lc, cfg.encoder_hidden_size, d)      # context embed
     f += _linear(n_x, cfg.patch_size ** 2 * cfg.in_channels, d)  # x embed
     f += _linear(n_x, d, cfg.patch_size ** 2 * cfg.out_ch)       # final
-    return f * (2 if cfg_batched else 1)
+    return f
 
 
 def encode_flops(tcfg, resolution):
@@ -141,8 +141,18 @@ def encode_flops(tcfg, resolution):
 
 
 def decode50_flops(tcfg, resolution, steps=50, cfg_scale=1.0):
-    """50-step diffusion decode: steps x MMDiT + VAE decoder."""
+    """50-step diffusion decode: steps x MMDiT + VAE decoder.
+
+    CFG accounting matches what the pipeline EXECUTES: with
+    register_length == 0 the uncond branch is the x-only trunk
+    (mmdit_uncond_xonly — masked context keys are provably dead, so the
+    uncond pass runs with zero context tokens, ~1/3 of a cond pass at
+    256px); with register tokens it falls back to a full second forward."""
     n_x = (resolution // 8 // tcfg.decoder.patch_size) ** 2
-    per_step = mmdit_step_flops(tcfg.decoder, n_x=n_x,
-                                cfg_batched=cfg_scale != 1.0)
+    per_step = mmdit_step_flops(tcfg.decoder, n_x=n_x)
+    if cfg_scale != 1.0:
+        if tcfg.decoder.register_length == 0:
+            per_step += mmdit_step_flops(tcfg.decoder, n_x=n_x, Lc=0)
+        else:
+            per_step *= 2
     return steps * per_step + vae_decoder_flops(resolution)

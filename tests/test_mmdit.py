@@ -328,6 +328,9 @@ def test_cfg_sampler_batched_equals_sequential_loop():
                                  cfg_scale=3.0, cfg_pair_fn=pair_fn)
     np.testing.assert_allclose(np.asarray(bat), np.asarray(seq),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_renderer_matches_reference():
     m = build_ref_mmdit(renderer=True, seed=4)
     cfg = jax_cfg(renderer=True)
     params = mmdit_from_state_dict(_np_sd(m), cfg)

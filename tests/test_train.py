@@ -462,3 +462,36 @@ def test_train_step_donation_safe(setup):
     s1, _ = step(state, x, jax.random.PRNGKey(4))
     s2, logs = step(s1, x, jax.random.PRNGKey(5))
     assert int(s2.step) == 2 and np.isfinite(float(logs["loss"]))
+
+
+def test_resume_exclude_opt_with_changed_optimizer(setup, tmp_path):
+    """resume_exclude_opt's actual purpose: the saved optimizer tree need
+    NOT match the fresh one (e.g. clipping added/removed changes the optax
+    chain structure). A structure-checked Orbax restore would reject the
+    checkpoint before the moments could be dropped."""
+    from selftoktokenizer_tpu.train.trainer import (
+        restore_train_state, save_train_state)
+
+    tcfg, params = setup
+    tc_a = TrainConfig(dit_lr=1e-4, token_lr=1e-4, grad_norm=1.0)
+    state, opt = make_train_state(params, tcfg, tc_a)
+    x = jax.random.normal(jax.random.PRNGKey(21), (2, 8, 8, 16))
+    state, _ = train_step(state, opt, tcfg, tc_a, x, jax.random.PRNGKey(22))
+    save_train_state(str(tmp_path / "ck"), state)
+
+    # fresh state under a DIFFERENT optimizer chain (no clipping)
+    tc_b = TrainConfig(dit_lr=1e-4, token_lr=1e-4, grad_norm=0.0)
+    fresh, opt_b = make_train_state(
+        jax.tree_util.tree_map(jnp.zeros_like, params), tcfg, tc_b)
+    restored = restore_train_state(str(tmp_path / "ck"), fresh,
+                                   exclude_opt=True)
+    assert int(restored.step) == 1
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(state.vq_state.embed),
+                                  np.asarray(restored.vq_state.embed))
+    # the optimizer state is the FRESH one and training continues under it
+    s2, logs = train_step(restored, opt_b, tcfg, tc_b, x,
+                          jax.random.PRNGKey(23))
+    assert np.isfinite(float(logs["loss"])) and int(s2.step) == 2

@@ -195,3 +195,26 @@ def test_bench_variant_roofline_expressions():
     # 4x patches -> ~2x total tokens; the MLP-dominated mix scales ~linearly
     # in L (attention's L^2 term is a small share at hidden 1536)
     assert d512_f > 2 * d256_f
+
+
+def test_decode50_flops_cfg_matches_executed_path():
+    """CFG FLOP accounting must model the x-only uncond trunk the pipeline
+    actually runs (register_length == 0), not a full doubled forward."""
+    import dataclasses
+
+    from selftoktokenizer_tpu.core.config import load_config
+    from selftoktokenizer_tpu.models.tokenizer import tokenizer_config_from_params
+    from selftoktokenizer_tpu.utils import flops as F
+
+    cfg = load_config("/root/reference/configs/res256/256-eval.yml")
+    tcfg = tokenizer_config_from_params(dict(cfg.tokenizer.params))
+    plain = F.decode50_flops(tcfg, 256, steps=50)
+    with_cfg = F.decode50_flops(tcfg, 256, steps=50, cfg_scale=4.0)
+    # x-only uncond: strictly less than 2x, more than 1x
+    assert plain < with_cfg < 2 * plain
+    # a register-token config cannot drop the context keys -> full 2x trunk
+    tcfg_reg = dataclasses.replace(
+        tcfg, decoder=dataclasses.replace(tcfg.decoder, register_length=4))
+    reg_cfg = F.decode50_flops(tcfg_reg, 256, steps=50, cfg_scale=4.0)
+    vae = F.vae_decoder_flops(256)
+    assert abs((reg_cfg - vae) - 2 * (F.decode50_flops(tcfg_reg, 256, steps=50) - vae)) < 1e-6 * reg_cfg

@@ -54,7 +54,10 @@ def main():
     shards = walk_all_files(args.data_dir, (".tar",))
     paths = walk_all_files(args.data_dir, (".jpg", ".jpeg", ".png"))
     if shards and not paths:
-        # webdataset-style sharded-tar corpus: shard list split per host
+        # webdataset-style sharded-tar corpus: shard list split per host.
+        # An empty per-host slice is legitimate (more hosts than shards —
+        # that host writes an empty part to keep part numbering dense);
+        # a non-empty slice that yields zero images errors below.
         lo, hi = process_slice(len(shards))
         shards = shards[lo:hi]
         paths = None
@@ -131,6 +134,13 @@ def main():
             print(f"{done}/{total or '?'} "
                   f"({done / (time.time() - t0):.1f} img/s)", flush=True)
 
+    if not all_tokens and (paths is None and len(shards) > 0):
+        # this host HAD shards but none produced a decodable image — that is
+        # corrupt data, not an over-provisioned host; match the image-path
+        # branch's hard error instead of writing a silently-empty part
+        raise SystemExit(
+            f"{len(shards)} .tar shard(s) yielded no decodable images "
+            f"under {args.data_dir}")
     tokens = np.concatenate(all_tokens) if all_tokens else np.zeros((0,), np.int32)
     token_paths = (np.concatenate(all_names) if all_names
                    else np.zeros((0,), dtype="U1"))
