@@ -75,6 +75,15 @@ def main():
         return 1.0 / (vae_f / V5E_BF16_PEAK
                       + enc_f / (V5E_BF16_PEAK / PASSES[prec]))
 
+    # shape-aware SoL: the flagship encoder's hidden-64 / head_dim-16
+    # matmuls occupy 2-8x their logical FLOPs in 128-lane MXU slots, so the
+    # physically attainable ceiling is lower than peak/model_flops
+    enc_slots = F.qformer_encoder_mxu_slots(pipe.tcfg.encoder, 256)
+
+    def encode_sol_shape(prec):
+        return 1.0 / (vae_f / V5E_BF16_PEAK
+                      + enc_slots / (V5E_BF16_PEAK / PASSES[prec]))
+
     batch = 16
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.uniform(-1, 1, (batch, 256, 256, 3)),
@@ -84,7 +93,11 @@ def main():
     enc_img_per_s = batch * _rate(lambda: pipe.encoding(images))
     sol = {"encode_sol_img_per_s": round(encode_sol("highest"), 1),
            "encode_sol_util": round(enc_img_per_s / encode_sol("highest"), 3),
-           "encode_flops_per_img_G": round((vae_f + enc_f) / 1e9, 1)}
+           "encode_sol_shape_img_per_s": round(encode_sol_shape("highest"), 1),
+           "encode_sol_shape_util": round(
+               enc_img_per_s / encode_sol_shape("highest"), 3),
+           "encode_flops_per_img_G": round((vae_f + enc_f) / 1e9, 1),
+           "encoder_mxu_slots_per_img_G": round(enc_slots / 1e9, 1)}
 
     # --- encode fast paths: margin-gated precisions ------------------------
     extras = {}

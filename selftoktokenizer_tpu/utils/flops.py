@@ -114,6 +114,54 @@ def qformer_encoder_flops(cfg, resolution=None):
     return f
 
 
+def _pad128(d):
+    return -(-d // 128) * 128
+
+
+def qformer_encoder_mxu_slots(cfg, resolution=None):
+    """MXU-slot count for the Qformer encoder: logical FLOPs inflated by
+    128-lane padding of each matmul's contraction and output dims.
+
+    The flagship encoder runs its image stream at hidden 64 with head_dim
+    16, and its query stream at head_dim 64 — every one of those matmuls
+    occupies 2-8x its logical FLOPs in MXU slots, so the *shape-aware*
+    speed-of-light is far below peak/model_flops. Use this as the
+    denominator for an honest encoder-stage utilization: slots/s vs peak
+    is what the systolic array physically executes."""
+    if resolution is not None:
+        n = (resolution // 8 // cfg.patch_size) ** 2
+    else:
+        n = (cfg.input_size // cfg.patch_size) ** 2
+    dx = cfg.hidden_size
+    dq = cfg.query_dim
+    K = cfg.K
+    hx = dx // cfg.num_heads          # image-stream head_dim
+    hq = dq // cfg.query_heads        # query-stream head_dim
+
+    def lin(tokens, d_in, d_out):
+        return 2.0 * tokens * _pad128(d_in) * _pad128(d_out)
+
+    def attn(q_tokens, kv_tokens, n_heads, head_dim):
+        # scores: contraction head_dim pads; output kv_tokens pads.
+        # attn@v: contraction kv_tokens pads; output head_dim pads.
+        return 2.0 * n_heads * q_tokens * (
+            _pad128(head_dim) * _pad128(kv_tokens)
+            + _pad128(kv_tokens) * _pad128(head_dim))
+
+    f = lin(n, cfg.patch_size ** 2 * cfg.in_channels, dx)
+    per_block = (
+        lin(n, dx, 3 * dx) + lin(n, dx, dx)
+        + 2 * lin(n, dx, 4 * dx) + attn(n, n, cfg.num_heads, hx)
+        + lin(K, dq, 3 * dq) + 2 * lin(n, dx, dq)
+        + attn(K, n + K, cfg.query_heads, hq) + lin(K, dq, dq)
+        + 2 * lin(K, dq, 4 * dq)
+    )
+    f += cfg.depth * per_block
+    f += lin(K, dq, cfg.code_dim)
+    f += lin(K, cfg.code_dim, cfg.codebook_size)
+    return f
+
+
 def mmdit_step_flops(cfg, n_x=None, Lc=None):
     """One MMDiT forward (models/mmdit.py MMDiTConfig): joint-attention DiT,
     depth blocks of [ctx + x] tokens at hidden 64*depth."""

@@ -218,3 +218,30 @@ def test_decode50_flops_cfg_matches_executed_path():
     reg_cfg = F.decode50_flops(tcfg_reg, 256, steps=50, cfg_scale=4.0)
     vae = F.vae_decoder_flops(256)
     assert abs((reg_cfg - vae) - 2 * (F.decode50_flops(tcfg_reg, 256, steps=50) - vae)) < 1e-6 * reg_cfg
+
+
+def test_qformer_mxu_slots_bounds():
+    """Shape-aware MXU-slot count: >= logical FLOPs (padding only inflates),
+    and equal for a config whose dims are all 128-multiples."""
+    import dataclasses
+
+    from selftoktokenizer_tpu.core.config import load_config
+    from selftoktokenizer_tpu.models.tokenizer import tokenizer_config_from_params
+    from selftoktokenizer_tpu.utils import flops as F
+
+    cfg = load_config("/root/reference/configs/res256/256-eval.yml")
+    ecfg = tokenizer_config_from_params(dict(cfg.tokenizer.params)).encoder
+    logical = F.qformer_encoder_flops(ecfg, 256)
+    slots = F.qformer_encoder_mxu_slots(ecfg, 256)
+    assert slots >= logical
+    # flagship (hidden 64, head_dim 16/64, code_dim 16) pads ~1.3x
+    assert 1.1 < slots / logical < 2.0
+
+    aligned = dataclasses.replace(
+        ecfg, hidden_size=256, num_heads=2, query_dim=512, query_heads=4,
+        code_dim=128, in_channels=32, patch_size=2, codebook_size=1024)
+    # head_dim 128/128, all linear dims 128-multiples -> attn rows (n+K)
+    # still pad, so allow equality only on the linear-dominated total
+    l2 = F.qformer_encoder_flops(aligned, 256)
+    s2 = F.qformer_encoder_mxu_slots(aligned, 256)
+    assert s2 / l2 < slots / logical  # aligned shapes waste fewer slots
