@@ -61,10 +61,40 @@ def _rate(fn, iters=10, warm=1):
 BUDGET_S = 1380  # soft cap: optional sections are skipped past this
 
 
+def _device_watchdog(timeout_s=180):
+    """Fail legibly if the device never answers (a wedged axon tunnel hangs
+    even jax.devices() forever — observed after a jax.profiler attempt).
+    Runs a tiny op in a daemon thread; on timeout prints the one JSON line
+    with an error field and hard-exits (the stuck thread is unkillable)."""
+    import os
+    import threading
+
+    ok = []
+
+    def probe():
+        try:
+            ok.append(float(jnp.sum(jnp.ones((8, 8)))))
+        except Exception:
+            pass
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if not ok:
+        print(json.dumps({
+            "metric": "encode images/sec/chip @256px 512-token",
+            "value": None, "unit": "images/sec", "vs_baseline": None,
+            "error": f"device unresponsive after {timeout_s}s "
+                     "(axon tunnel wedged); see docs/ARCHITECTURE.md "
+                     "measurement notes"}))
+        os._exit(2)
+
+
 def main():
     from __graft_entry__ import _flagship_pipeline
     from selftoktokenizer_tpu.utils import flops as F
 
+    _device_watchdog()
     t_start = time.time()
     platform = jax.devices()[0].platform
     pipe = _flagship_pipeline()
