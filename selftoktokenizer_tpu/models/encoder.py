@@ -438,6 +438,15 @@ def get_encoder_outs(p, cfg: EncoderConfig, x):
     if mode == "dual":
         mask = None
         if cfg.attn_mask:
+            if cfg.bidirectional:
+                # the [K, N+K] causal mask cannot apply to the joint
+                # (N+K)-query self-attention; the reference crashes on the
+                # same combination (modules.py:211-216 SDPA broadcast vs the
+                # models_ours.py:328-332 mask) — fail with a clear message
+                raise ValueError(
+                    "attn_mask=True is unsupported with bidirectional=True "
+                    "(no reference config combines them; the reference "
+                    "errors identically)")
             # causal over queries, full visibility of image tokens
             # (models_ours.py:328-332)
             N = x.shape[1]

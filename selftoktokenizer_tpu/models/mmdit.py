@@ -229,7 +229,8 @@ def joint_block_apply(bp, cfg: MMDiTConfig, context, x, c, pos_mods=None,
     return new_ctx, new_x
 
 
-def precompute_context_mods(params, cfg: MMDiTConfig):
+def precompute_context_mods(params, cfg: MMDiTConfig,
+                            block_key="context_block", length=None):
     """Context adaLN table — pure function of params.
 
     'pos_emb':   [depth-1, K, 6*hidden] full modulations (the reference
@@ -243,8 +244,10 @@ def precompute_context_mods(params, cfg: MMDiTConfig):
         return None
     # the context stream seen by the blocks includes prepended registers
     # (mmdit.py:919-927); the reference derives positions from x.shape[1]
-    # inside the block (mmdit.py:447-451), i.e. over register_length + K
-    L = cfg.register_length + cfg.K
+    # inside the block (mmdit.py:447-451), i.e. over register_length + K.
+    # block_key/length generalize to the multires low-res context stream
+    # ('context_block_low_res' over the low-res token count).
+    L = length if length is not None else cfg.register_length + cfg.K
     base = 1000 + 8 * np.arange(L) if cfg.diti_positions else np.arange(L)
     positions = jnp.asarray(base, jnp.float32)
 
@@ -252,14 +255,14 @@ def precompute_context_mods(params, cfg: MMDiTConfig):
         def one_t(bp):
             return timestep_embedder(bp["t_embedder"], positions)
 
-        return jax.vmap(lambda bp: one_t(bp["context_block"]))(
+        return jax.vmap(lambda bp: one_t(bp[block_key]))(
             params["joint_blocks"])
 
     def one(bp):
         t_emb = timestep_embedder(bp["t_embedder"], positions)
         return linear(bp["adaLN"], jax.nn.silu(t_emb))
 
-    return jax.vmap(lambda bp: one(bp["context_block"]))(params["joint_blocks"])
+    return jax.vmap(lambda bp: one(bp[block_key]))(params["joint_blocks"])
 
 
 # ---------------------------------------------------------------------------
@@ -403,6 +406,10 @@ def _pool_y(params, cfg: MMDiTConfig, encoder_hidden_states, mask):
         pooled = jnp.take_along_axis(
             encoder_hidden_states, k_batch[:, None, None], axis=1)[:, 0]
     elif cfg.sd3_cond_pooling == "mean":
+        # reference-exact quirk (mmdit.py:1140): the sum runs over ALL
+        # tokens unmasked while the divisor is the mask count — a true
+        # masked mean only when the hidden states are pre-zeroed to this
+        # exact mask. Callers must pass ehs consistent with `mask`.
         pooled = (jnp.sum(encoder_hidden_states, axis=1)
                   / jnp.sum(mask, axis=-1, keepdims=True))
     else:
@@ -508,7 +515,18 @@ def mmdit_cfg_inference(params, cfg: MMDiTConfig, x, t, encoder_hidden_states,
                          encoder_hidden_states).astype(xt.dtype)
     if mask is None:
         mask = jnp.ones((B, context.shape[1]), bool)
-    key_mask = build_decode_key_mask(mask, xt.shape[1], 0)
+    if cfg.register_length > 0:
+        # the reference prepends registers inside forward_core_with_concat
+        # (mmdit.py:919-925) — shared by cfg_inference too; register keys
+        # stay unmasked (mmdit.py:1046-1049)
+        context = jnp.concatenate(
+            [jnp.broadcast_to(params["register"],
+                              (B, cfg.register_length, context.shape[-1])),
+             context], axis=1)
+    if ctx_mods is not None and \
+            ctx_mods.shape[1] != context.shape[1]:
+        ctx_mods = ctx_mods[:, :context.shape[1]]
+    key_mask = build_decode_key_mask(mask, xt.shape[1], cfg.register_length)
     if ctx_mods is None:
         ctx_mods = precompute_context_mods(params, cfg)
     out = _trunk(params, cfg, context, xt, c, ctx_mods, key_mask=key_mask)
@@ -593,9 +611,10 @@ def mmdit_cfg_batched(params, cfg: MMDiTConfig, x, t, encoder_hidden_states,
     ti = jnp.clip(jnp.floor(t1000), 0, 999).astype(jnp.int32)
     c_u = timestep_embedder(params["t_embedder"], ti).astype(xt.dtype)
     if cfg.sd3_cond_pooling:
-        y = _pool_y(params, cfg, encoder_hidden_states, mask)
-        if y is not None:
-            c_c = c_c + y
+        # cond branch: the sampler's cond pass is the plain forward
+        # (rectified_flow.py:289 `model(x, t, None, context, ...)`), which
+        # NEVER pools — only cfg_inference does, and only for its own
+        # encoder_hidden_states (None on the uncond branch -> uncond_y)
         if "uncond_y" in params:
             c_u = c_u + params["uncond_y"].astype(c_u.dtype)
 
@@ -645,6 +664,12 @@ def renderdit_apply(params, cfg: MMDiTConfig, encoder_hidden_states,
             c = c + y
     context = linear(params["context_embedder"], encoder_hidden_states)
     context = (context + params["context_pos_embed"]).astype(x.dtype)
+    if cfg.register_length > 0:
+        # prepended inside the reference's forward_core (renderdit.py:827-830)
+        context = jnp.concatenate(
+            [jnp.broadcast_to(params["register"],
+                              (B, cfg.register_length, context.shape[-1])),
+             context], axis=1)
     if mask is None:
         mask = jnp.ones((B, cfg.K), bool)
     if x_mask is None:
@@ -673,6 +698,12 @@ def renderer_apply(params, cfg: MMDiTConfig, encoder_hidden_states, mask=None,
     c = timestep_embedder(params["t_embedder"], t1000).astype(x.dtype)
     context = linear(params["context_embedder"], encoder_hidden_states)
     context = (context + params["context_pos_embed"]).astype(x.dtype)
+    if cfg.register_length > 0:
+        # prepended inside the reference's forward_core (mmdit.py:1435-1438)
+        context = jnp.concatenate(
+            [jnp.broadcast_to(params["register"],
+                              (B, cfg.register_length, context.shape[-1])),
+             context], axis=1)
     if mask is None:
         mask = jnp.ones((B, cfg.K), bool)
     # renderer: context_see_xt defaults False (mmdit.py:1533-1534) -> context
@@ -925,16 +956,9 @@ def mmdit_multires_apply(params, cfg: MMDiTConfig, x, t,
     ctx_mods = precompute_context_mods(params, cfg)         if cfg.time_adaln == "pos_emb" else None
     lowres_mods = None
     if cfg.time_adaln == "pos_emb":
-        base = (1000 + 8 * np.arange(cfg.K) if cfg.diti_positions
-                else np.arange(cfg.K))
-        positions = jnp.asarray(base[:ctx_lowres.shape[1]], jnp.float32)
-
-        def one(bp):
-            t_emb = timestep_embedder(bp["t_embedder"], positions)
-            return linear(bp["adaLN"], jax.nn.silu(t_emb))
-
-        lowres_mods = jax.vmap(
-            lambda bp: one(bp["context_block_low_res"]))(params["joint_blocks"])
+        lowres_mods = precompute_context_mods(
+            params, cfg, block_key="context_block_low_res",
+            length=ctx_lowres.shape[1])
 
     if ctx_mods is not None:
         def body(carry, inp):

@@ -150,7 +150,10 @@ class SelftokPipeline:
         # hoist the per-position context adaLN table out of the decode loop
         # (computed in fp32 before any decode-dtype cast)
         self._ctx_mods = None
-        if "model" in self.params and self.tcfg.decoder.time_adaln == "pos_emb":
+        if "model" in self.params and \
+                self.tcfg.decoder.time_adaln in ("pos_emb", "pos_t_emb"):
+            # both tables are functions of weights only (pos_t_emb adds the
+            # per-position t_embedder MLP — even more worth hoisting)
             self._ctx_mods = precompute_context_mods(
                 self.params["model"], self.tcfg.decoder)
 
@@ -265,11 +268,12 @@ class SelftokPipeline:
             # once before the scan is equivalent.
             outs_q = jnp.pad(outs_q, ((0, 0), (0, self.K - n_tok), (0, 0)))
             super_mask = jnp.arange(self.K)[None, :] < n_tok
-        k0 = self.step_k[0]
-        mask0 = jnp.arange(self.K)[None, :] <= k0
-        if super_mask is not None:
-            mask0 = mask0 & super_mask
-        ehs = outs_q * mask0[..., None].astype(outs_q.dtype)
+        # no value premask: the sampler key-masks per step, so masked tokens
+        # contribute exactly 0 regardless of their values — and a step-0
+        # value premask would silently corrupt any non-monotone step_k
+        # schedule (later steps unmasking tokens whose values were zeroed).
+        # Short-sequence padding stays zeroed from the pad above.
+        ehs = outs_q
 
         dd = self.decode_dtype
         # cast fp32 leaves to the decode dtype; int8 weights and their fp32

@@ -1,6 +1,7 @@
 """MMDiT / MMDiT_Renderer golden tests vs the reference (tiny depth-3 config)."""
 
 import numpy as np
+import pytest
 import torch
 import jax.numpy as jnp
 
@@ -17,7 +18,7 @@ LATENT = 8  # 8x8 latents -> 16 patches at p=2
 
 
 def build_ref_mmdit(renderer=False, time_adaln="pos_emb", seed=0,
-                    sd3_cond_pooling=None):
+                    sd3_cond_pooling=None, register_length=0):
     ref = get_ref()
     torch.manual_seed(seed)
     diti = ref.diti_utils.DiTi_cont(1000, K, "500,1000", "4,2")
@@ -33,6 +34,7 @@ def build_ref_mmdit(renderer=False, time_adaln="pos_emb", seed=0,
         K=K, input_size=LATENT, in_channels=16,
         sd3_cond_pooling=sd3_cond_pooling, class_dropout_prob=0.1,
         train_filter=None, freeze_filter=[], init_method=None,
+        register_length=register_length,
         # use_checkpoint=False is bit-rotted in the reference (passes
         # use_reentrant into _forward, mmdit.py:606); keep the default True
         time_adaln=time_adaln, diti=diti, use_checkpoint=True,
@@ -51,13 +53,15 @@ def build_ref_mmdit(renderer=False, time_adaln="pos_emb", seed=0,
     return enliven_zero_init(m, seed=seed + 100)
 
 
-def jax_cfg(renderer=False, time_adaln="pos_emb"):
+def jax_cfg(renderer=False, time_adaln="pos_emb", register_length=0,
+            sd3_cond_pooling=None):
     return MMDiTConfig(
         depth=DEPTH, K=K, patch_size=2, in_channels=16,
         pos_embed_max_size=LATENT, num_patches=LATENT * LATENT,
         encoder_hidden_size=ENC_HIDDEN, context_dim=HIDDEN,
         adm_in_channels=ENC_HIDDEN, time_adaln=time_adaln,
-        renderer=renderer, input_size=LATENT, repeat_mask_token=True)
+        renderer=renderer, input_size=LATENT, repeat_mask_token=True,
+        register_length=register_length, sd3_cond_pooling=sd3_cond_pooling)
 
 
 def _np_sd(m):
@@ -330,9 +334,13 @@ def test_cfg_sampler_batched_equals_sequential_loop():
                                rtol=1e-4, atol=1e-4)
 
 
-def test_renderer_matches_reference():
-    m = build_ref_mmdit(renderer=True, seed=4)
-    cfg = jax_cfg(renderer=True)
+@pytest.mark.parametrize("register_length", [0, 2])
+def test_renderer_matches_reference(register_length):
+    """register_length=2 pins the register-token prepend in renderer_apply
+    (the reference prepends inside forward_core, mmdit.py:1435-1438, and
+    extends the mask with ones, :1567-1570)."""
+    m = build_ref_mmdit(renderer=True, seed=4, register_length=register_length)
+    cfg = jax_cfg(renderer=True, register_length=register_length)
     params = mmdit_from_state_dict(_np_sd(m), cfg)
     rng = np.random.default_rng(4)
     ehs = rng.standard_normal((2, K, ENC_HIDDEN)).astype(np.float32)
@@ -343,13 +351,87 @@ def test_renderer_matches_reference():
     np.testing.assert_allclose(got, want.numpy(), rtol=2e-3, atol=2e-4)
 
 
-def test_precomputed_mods_consistency():
-    """The hoisted context-mod table equals per-call computation."""
-    m = build_ref_mmdit(seed=5)
-    cfg = jax_cfg()
+def test_cfg_inference_with_registers_runs_and_uses_them():
+    """The pipeline's uncond CFG branch for register models: the reference's
+    own cfg_inference never extends its mask for the prepended registers and
+    shape-errors (mmdit.py:1152-1160 vs :919-925), so no golden is possible —
+    pin the intended semantics: registers are prepended, their keys stay
+    unmasked, and the output depends on the register values."""
+    from selftoktokenizer_tpu.models.mmdit import mmdit_init
+
+    import jax
+
+    cfg = jax_cfg(register_length=2)
+    params = mmdit_init(jax.random.PRNGKey(3), cfg)
+    # enliven the zero-init adaLN gates — a fresh trunk is an identity map
+    # and the registers would be provably inert (see ref_loader)
+    leaves, td = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(33), len(leaves))
+    params = jax.tree_util.tree_unflatten(
+        td, [l + 0.03 * jax.random.normal(kk, l.shape, l.dtype)
+             if float(jnp.max(jnp.abs(l))) == 0.0 else l
+             for l, kk in zip(leaves, keys)])
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((1, LATENT, LATENT, 16)), jnp.float32)
+    t = jnp.array([0.4])
+    mask = jnp.zeros((1, K), bool)  # the sampler's fully-masked uncond call
+    v1 = mmdit_cfg_inference(params, cfg, x, t, None, mask=mask)
+    assert v1.shape == (1, LATENT, LATENT, 16)
+    params2 = dict(params)
+    params2["register"] = params["register"] + 1.0
+    v2 = mmdit_cfg_inference(params2, cfg, x, t, None, mask=mask)
+    # any nonzero difference proves the registers reach the output (the
+    # compute is deterministic, so inert registers would be bit-equal);
+    # the magnitude is small because the enlivened gates are 0.03-scale
+    assert float(jnp.max(jnp.abs(v1 - v2))) > 0.0
+
+
+def test_cfg_batched_cond_branch_never_pools():
+    """The sampler's cond pass is the plain forward, which never applies
+    sd3_cond_pooling (rectified_flow.py:289; pooling exists only in
+    cfg_inference) — the batched CFG trunk must reproduce mmdit_apply
+    exactly for pooling configs."""
+    from selftoktokenizer_tpu.models.mmdit import mmdit_cfg_batched, mmdit_init
+
+    import jax
+
+    cfg = jax_cfg(sd3_cond_pooling="last")
+    params = mmdit_init(jax.random.PRNGKey(5), cfg)
+    # enliven zero-init gates so the trunk is live (see ref_loader)
+    leaves, td = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(55), len(leaves))
+    params = jax.tree_util.tree_unflatten(
+        td, [l + 0.03 * jax.random.normal(kk, l.shape, l.dtype)
+             if float(jnp.max(jnp.abs(l))) == 0.0 else l
+             for l, kk in zip(leaves, keys)])
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, LATENT, LATENT, 16)), jnp.float32)
+    ehs = jnp.asarray(rng.standard_normal((2, K, ENC_HIDDEN)), jnp.float32)
+    t = jnp.array([0.3, 0.8])
+    mask = jnp.ones((2, K), bool)
+    v_c, v_u = mmdit_cfg_batched(params, cfg, x, t, ehs, mask)
+    # 2e-4 tolerance: the 2B-batch trunk reassociates fp32 reductions vs the
+    # separate calls (same as test_cfg_batched_equals_sequential); a wrongly
+    # pooled cond branch would differ by O(1)
+    want_c = mmdit_apply(params, cfg, x, t, ehs, mask=mask)
+    np.testing.assert_allclose(np.asarray(v_c), np.asarray(want_c),
+                               rtol=2e-4, atol=2e-4)
+    want_u = mmdit_cfg_inference(params, cfg, x, t, None,
+                                 mask=jnp.zeros_like(mask))
+    np.testing.assert_allclose(np.asarray(v_u), np.asarray(want_u),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("time_adaln", ["pos_emb", "pos_t_emb"])
+def test_precomputed_mods_consistency(time_adaln):
+    """The hoisted context-mod table equals per-call computation (both
+    hoistable modes — the pipeline gates on exactly these two)."""
+    m = build_ref_mmdit(seed=5, time_adaln=time_adaln)
+    cfg = jax_cfg(time_adaln=time_adaln)
     params = mmdit_from_state_dict(_np_sd(m), cfg)
     mods = precompute_context_mods(params, cfg)
-    assert mods.shape == (DEPTH - 1, K, 6 * HIDDEN)
+    want_dim = 6 * HIDDEN if time_adaln == "pos_emb" else HIDDEN
+    assert mods.shape == (DEPTH - 1, K, want_dim)
     rng = np.random.default_rng(5)
     x = jnp.asarray(rng.standard_normal((1, LATENT, LATENT, 16)), jnp.float32)
     ehs = jnp.asarray(rng.standard_normal((1, K, ENC_HIDDEN)), jnp.float32)

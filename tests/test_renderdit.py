@@ -14,7 +14,7 @@ K = 6
 ENC_HIDDEN = 8
 
 
-def build_ref_renderdit(seed=0):
+def build_ref_renderdit(seed=0, register_length=0):
     import importlib
 
     get_ref()
@@ -23,6 +23,7 @@ def build_ref_renderdit(seed=0):
     torch.manual_seed(seed)
     diti = diti_mod.DiTi_cont(1000, K, "500,1000", "4,2")
     m = rd.RenderDiT(
+        register_length=register_length,
         pos_embed_scaling_factor=None, pos_embed_offset=None,
         pos_embed_max_size=32, patch_size=2, depth=DEPTH, num_patches=32 * 32,
         adm_in_channels=ENC_HIDDEN,
@@ -37,13 +38,20 @@ def build_ref_renderdit(seed=0):
     return enliven_zero_init(m, seed=seed + 100)
 
 
-def test_renderdit_matches_reference():
-    m = build_ref_renderdit()
+import pytest
+
+
+@pytest.mark.parametrize("register_length", [0, 2])
+def test_renderdit_matches_reference(register_length):
+    # register_length=2 pins the register prepend (renderdit.py:827-830
+    # inside forward_core; mask ones at :880-883)
+    m = build_ref_renderdit(register_length=register_length)
     cfg = MMDiTConfig(depth=DEPTH, K=K, patch_size=2, in_channels=16,
                       pos_embed_max_size=32, num_patches=32 * 32,
                       encoder_hidden_size=ENC_HIDDEN, context_dim=HIDDEN,
                       adm_in_channels=ENC_HIDDEN, time_adaln="pos_emb",
-                      renderer=True, input_size=32, repeat_mask_token=True)
+                      renderer=True, input_size=32, repeat_mask_token=True,
+                      register_length=register_length)
     sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
     params = mmdit_from_state_dict(sd, cfg)
 
