@@ -226,13 +226,20 @@ class NativeImageLoader:
     def next_with_indices(self):
         """-> (images [n,size,size,3], source path indices [n]). Raises
         StopIteration when exhausted."""
-        n = self._lib.stk_loader_next(
-            self._h, self._buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            self._idx.ctypes.data_as(ctypes.POINTER(ctypes.c_long)))
-        if n < 0:
-            raise StopIteration
-        self.last_indices = self._idx[:n].copy()
-        return self._buf[:n].copy(), self.last_indices
+        while True:
+            n = self._lib.stk_loader_next(
+                self._h,
+                self._buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                self._idx.ctypes.data_as(ctypes.POINTER(ctypes.c_long)))
+            if n < 0:
+                raise StopIteration
+            if n == 0:
+                # a worker slice whose decodes ALL failed pushes an empty
+                # batch (dataloader.cc worker()); skip it rather than yield
+                # a [0, ...] array mid-stream
+                continue
+            self.last_indices = self._idx[:n].copy()
+            return self._buf[:n].copy(), self.last_indices
 
     def stats(self):
         failed = ctypes.c_long(0)

@@ -19,9 +19,6 @@ TPU-first design notes
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -74,21 +71,6 @@ def euler_step(x, v, a_t, a_prev, parameterization="velocity"):
     else:
         raise ValueError(parameterization)
     return x_prev, pred_x0
-
-
-@dataclasses.dataclass
-class FlowConfig:
-    num_timesteps: int = 50
-    start: float = 1.0
-    schedule: str = "log_norm"          # training-time t sampler family
-    val_schedule: str = "uniform"
-    parameterization: str = "velocity"
-    shift: float = 1.0
-    m: float = 0.0
-    s: float = 1.0
-    force_recon: bool = False
-    cut_of_k: Optional[float] = None
-    is_eval: bool = False
 
 
 def precompute_step_k(diti, sched, t2k=1.0):
@@ -222,13 +204,3 @@ def training_losses(model_fn, x_start, t, noise, parameterization="velocity",
                          + (1 - recon_ratio) * mean_flat((v_gt - v) ** 2))
     return terms
 
-
-def sample_t_log_norm(rng, batch, m=0.0, s=1.0):
-    """log-norm timestep sampling used by training configs
-    (schedule='log_norm'): t = sigmoid(m + s*normal)."""
-    z = m + s * jax.random.normal(rng, (batch,))
-    return jax.nn.sigmoid(z)
-
-
-def sample_t_uniform(rng, batch):
-    return jax.random.uniform(rng, (batch,))

@@ -108,7 +108,6 @@ def downsample(p, x):
 
 def upsample(p, x):
     """Nearest 2x + conv3x3 (sd3_impls.py:301-311)."""
-    b, h, w, c = x.shape
     x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
     return conv2d(p["conv"], x)
 

@@ -497,6 +497,16 @@ def vq_from_state_dict(sd):
     return p
 
 
+def _scalar(sd, key, default):
+    """0-dim-safe scalar buffer read (the reference stores e.g. initted as
+    torch.Tensor([x]) but steps sometimes as a 0-dim tensor)."""
+    if key not in sd:
+        return default
+    from selftoktokenizer_tpu.core import convert as cv
+
+    return cv._np(sd[key]).reshape(-1)[0]
+
+
 def vq_state_from_state_dict(sd, K: int) -> VQState:
     from selftoktokenizer_tpu.core import convert as cv
 
@@ -523,7 +533,7 @@ def vq_state_from_state_dict(sd, K: int) -> VQState:
         embed_avg=jnp.asarray(embed_avg, jnp.float32),
         timestep_p_over_c=jnp.asarray(tpc, jnp.float32),
         count=jnp.asarray(count, jnp.float32),
-        steps=jnp.asarray(int(cv._np(sd["steps"])[0]) if "steps" in sd else 0, jnp.int32),
-        initted=jnp.asarray(bool(cv._np(sd["_codebook.initted"])[0]) if "_codebook.initted" in sd else True),
-        tpc_initted=jnp.asarray(bool(cv._np(sd["_codebook.tpc_initted"])[0]) if "_codebook.tpc_initted" in sd else True),
+        steps=jnp.asarray(_scalar(sd, "steps", 0), jnp.int32),
+        initted=jnp.asarray(bool(_scalar(sd, "_codebook.initted", 1))),
+        tpc_initted=jnp.asarray(bool(_scalar(sd, "_codebook.tpc_initted", 1))),
     )

@@ -16,6 +16,10 @@ def load_image(path, size):
 
 def preprocess_pil(img, size):
     """PIL image -> float32 NHWC [1,H,W,3] in [-1,1]."""
+    if img.mode != "RGB":
+        # grayscale/RGBA/palette inputs must land as 3-channel like the
+        # native decoder (JCS_RGB / png_set_gray_to_rgb) and load_image do
+        img = img.convert("RGB")
     w, h = img.size
     # torchvision Resize(size): shortest side -> size, long side truncated
     # int(size * long / short) (functional.resize), bilinear

@@ -72,15 +72,17 @@ def make_optimizer(params, tc: TrainConfig):
                 for k, v in tree.items()}
 
     def adamw(lr):
-        chain = []
-        if tc.grad_norm > 0:
-            chain.append(optax.clip_by_global_norm(tc.grad_norm))
-        chain.append(optax.adamw(_lr_schedule(lr, tc), b1=tc.b1, b2=tc.b2,
-                                 weight_decay=tc.weight_decay))
-        return optax.chain(*chain)
+        return optax.adamw(_lr_schedule(lr, tc), b1=tc.b1, b2=tc.b2,
+                           weight_decay=tc.weight_decay)
 
-    return optax.multi_transform(
+    opt = optax.multi_transform(
         {"dit": adamw(tc.dit_lr), "token": adamw(tc.token_lr)}, label_fn)
+    if tc.grad_norm > 0:
+        # clip BEFORE the group split: torch clip_grad_norm_ semantics are
+        # ONE norm over all parameters — inside multi_transform each group
+        # chain would see only its own leaves and clip per-group
+        opt = optax.chain(optax.clip_by_global_norm(tc.grad_norm), opt)
+    return opt
 
 
 def make_train_state(params, tcfg: TokenizerConfig, tc: TrainConfig):

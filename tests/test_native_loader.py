@@ -161,3 +161,48 @@ def test_tar_shard_loader_streams_lazily(img_dir, tmp_path):
     with pytest.raises(FileNotFoundError):
         for _ in it:
             pass
+
+
+def test_preprocess_pil_converts_non_rgb():
+    """grayscale/RGBA inputs must come out [1,s,s,3] like the native decoder
+    (JCS_RGB / png_set_gray_to_rgb) — the tar fallback path crashed on them."""
+    from PIL import Image
+
+    from selftoktokenizer_tpu.pipeline.preprocess import preprocess_pil
+
+    for mode, shape in [("L", (64, 64)), ("RGBA", (64, 64))]:
+        img = Image.new(mode, shape)
+        out = preprocess_pil(img, 32)
+        assert out.shape == (1, 32, 32, 3), mode
+
+
+def test_native_loader_skips_all_failed_batches(tmp_path):
+    """A worker slice whose decodes all fail pushes an empty batch from the
+    C ring; the wrapper must skip it, not yield a [0,...] array."""
+    import numpy as np
+    from PIL import Image
+
+    from selftoktokenizer_tpu.data.native import (
+        NativeImageLoader, native_available)
+
+    if not native_available():
+        import pytest
+        pytest.skip("native lib not built")
+    paths = []
+    for i in range(4):  # one full batch of garbage
+        p = tmp_path / f"bad{i}.jpg"
+        p.write_bytes(b"not an image")
+        paths.append(str(p))
+    for i in range(4):
+        arr = np.random.default_rng(i).integers(0, 255, (40, 40, 3),
+                                                dtype=np.uint8)
+        p = tmp_path / f"good{i}.jpg"
+        Image.fromarray(arr).save(p)
+        paths.append(str(p))
+    loader = NativeImageLoader(paths, size=32, batch=4, n_threads=1)
+    seen = 0
+    for imgs in loader:
+        assert imgs.shape[0] > 0
+        seen += imgs.shape[0]
+    assert seen == 4
+    assert loader.stats()["failed"] == 4

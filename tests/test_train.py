@@ -495,3 +495,61 @@ def test_resume_exclude_opt_with_changed_optimizer(setup, tmp_path):
     s2, logs = train_step(restored, opt_b, tcfg, tc_b, x,
                           jax.random.PRNGKey(23))
     assert np.isfinite(float(logs["loss"])) and int(s2.step) == 2
+
+
+def test_grad_clipping_is_global_not_per_group(setup):
+    """torch clip_grad_norm_ semantics: ONE norm over all params. With the
+    clip inside each multi_transform group chain, a group whose own norm is
+    under the threshold would never be scaled even when the global norm
+    exceeds it."""
+    import optax
+
+    from selftoktokenizer_tpu.train.trainer import make_optimizer
+
+    tcfg, params = setup
+    tc = TrainConfig(dit_lr=1e-3, token_lr=1e-3, grad_norm=1.0)
+    opt = make_optimizer(params, tc)
+    state = opt.init(params)
+    # encoder ("token") grads tiny, decoder ("dit") grads huge: global norm
+    # >> 1, so BOTH groups must be scaled by ~1/global_norm
+    grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+    grads["encoder"]["quantizer"]["project_in"]["w"] = jnp.full_like(
+        params["encoder"]["quantizer"]["project_in"]["w"], 1e-3)
+    grads["model"]["context_embedder"]["w"] = jnp.full_like(
+        params["model"]["context_embedder"]["w"], 100.0)
+    updates, _ = opt.update(grads, state, params)
+    global_norm = float(optax.global_norm(grads))
+    assert global_norm > 1.0
+    raw = grads["encoder"]["quantizer"]["project_in"]["w"]
+    upd = updates["encoder"]["quantizer"]["project_in"]["w"]
+    # adam normalizes magnitudes, so compare against the no-clip optimizer:
+    # the token-group update must CHANGE when the dit-group grads blow the
+    # global budget (per-group clipping would leave it bit-identical)
+    opt_nc = make_optimizer(params, TrainConfig(dit_lr=1e-3, token_lr=1e-3,
+                                                grad_norm=0.0))
+    upd_nc, _ = opt_nc.update(grads, opt_nc.init(params), params)
+    assert not np.allclose(
+        np.asarray(upd),
+        np.asarray(upd_nc["encoder"]["quantizer"]["project_in"]["w"]))
+    del raw
+
+
+def test_vq_state_from_state_dict_scalar_buffers():
+    """0-dim and [1]-shaped scalar buffers both load (the reference stores
+    initted as Tensor([x]) but steps can be 0-dim)."""
+    import torch
+
+    C, D, K = 16, 8, 4
+    emb = torch.randn(1, C, D)
+    sd = {
+        "_codebook.embed": emb,
+        "_codebook.cluster_size": torch.ones(1, C),
+        "_codebook.embed_avg": emb.clone(),
+        "_codebook.timestep_p_over_c": torch.full((1, K, C), 1.0 / C),
+        "steps": torch.tensor(7),                 # 0-dim
+        "_codebook.initted": torch.tensor([1.0]),  # [1]
+    }
+    st = vq_mod.vq_state_from_state_dict(
+        {k: v.numpy() for k, v in sd.items()}, K=K)
+    assert int(st.steps) == 7 and bool(st.initted)
+    assert st.embed.shape == (C, D)
