@@ -49,10 +49,10 @@ def partial_merge(params, incoming, drop_mismatched=True, log=None):
     flat_in = incoming if isinstance(next(iter(incoming.keys()), ""), str) and \
         all("/" in k for k in incoming) else _flatten(incoming)
     merged = dict(flatp)
-    missing, mismatched = [], []
+    unexpected, mismatched = [], []
     for k, v in flat_in.items():
         if k not in flatp:
-            missing.append(k)
+            unexpected.append(k)
             continue
         if tuple(np.shape(v)) != tuple(np.shape(flatp[k])):
             mismatched.append(k)
@@ -60,11 +60,31 @@ def partial_merge(params, incoming, drop_mismatched=True, log=None):
                 continue
         merged[k] = v
     if log:
-        if missing:
-            log(f"unexpected keys: {missing}")
+        if unexpected:
+            log(f"unexpected keys: {unexpected}")
         if mismatched:
             log(f"shape-mismatched (dropped): {mismatched}")
-    return _unflatten(merged)
+        # keys the checkpoint did NOT cover keep their fresh init — surface
+        # them like the reference's load_state(strict=False) missing-key
+        # report (SelftokPipeline.py:46-83): a half-loaded model must not be
+        # indistinguishable from a full load
+        not_loaded = [k for k in flatp if k not in flat_in]
+        if not_loaded and len(flat_in) > 0:
+            log(f"params not in checkpoint (keep init): {len(not_loaded)} "
+                f"leaves, e.g. {not_loaded[:5]}")
+
+    # rebuild along the ORIGINAL params structure — a flatten/unflatten
+    # round-trip would turn tuple nodes into lists and break pytree
+    # structure equality with the input
+    def rebuild(node, prefix=""):
+        if isinstance(node, dict):
+            return {k: rebuild(v, f"{prefix}/{k}") for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(rebuild(v, f"{prefix}/{i}")
+                              for i, v in enumerate(node))
+        return merged[prefix]
+
+    return rebuild(params)
 
 
 def ema_update(ema_tree, tree, decay=0.9999):

@@ -40,9 +40,19 @@ def build_parser():
 
 def parse_args(argv=None):
     """argparse + yml merge; yml values win (infer_utils.py:142-162
-    merge_from_args priority)."""
+    merge_from_args priority).
+
+    Reference semantics: flag values land at the TOP level of the config,
+    but any key the yml already sets keeps the yml value — so cfg.steps
+    reads the merged value. The raw namespace stays under cfg.args."""
     args = build_parser().parse_args(argv)
-    cfg = AttrDict({"args": vars(args)})
+    cfg = AttrDict()
     if args.yml_path:
         cfg.update(load_config(args.yml_path))
+    for k, v in vars(args).items():
+        if k in cfg:          # yml has higher priority (infer_utils.py:159)
+            continue
+        if v is not None:
+            cfg[k] = v
+    cfg["args"] = vars(args)
     return cfg, args

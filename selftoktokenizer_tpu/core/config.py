@@ -40,7 +40,17 @@ class AttrDict(dict):
             raise AttributeError(name) from e
 
     def __setattr__(self, name, value):
-        self[name] = self._wrap(value)
+        self[name] = value
+
+    def __setitem__(self, key, value):
+        # wrap on EVERY write path (easydict aliases __setitem__ to the
+        # wrapping __setattr__): cfg["x"] = {...} and merge_overrides must
+        # yield attribute-accessible nodes, not plain dicts
+        super().__setitem__(key, self._wrap(value))
+
+    def update(self, *args, **kwargs):
+        for k, v in dict(*args, **kwargs).items():
+            self[k] = v
 
     def __delattr__(self, name):
         try:

@@ -28,11 +28,7 @@ import re
 
 import numpy as np
 
-
-def _np(t):
-    if hasattr(t, "detach"):
-        t = t.detach().cpu().numpy()
-    return np.asarray(t)
+from selftoktokenizer_tpu.core.convert import _np  # one tensor->np helper
 
 
 def ldm_vae_state_dict(checkpoint):

@@ -45,7 +45,11 @@ def sdpa_key_mask(q, k, v, key_mask=None, scale: Optional[float] = None):
     """
     if key_mask is None:
         return sdpa(q, k, v, scale=scale)
-    bias = jnp.where(key_mask, 0.0, _NEG_INF).astype(jnp.float32)
+    # finite -1e30 (not -inf), matching the Pallas kernel's bias: a
+    # hypothetical fully-masked row then yields a uniform mean on BOTH
+    # backends instead of NaN here and uniform there (unreachable on real
+    # paths — x-stream keys are never masked — but keep backends identical)
+    bias = jnp.where(key_mask, 0.0, -1e30).astype(jnp.float32)
     return sdpa(q, k, v, mask=bias[:, None, None, :], scale=scale)
 
 

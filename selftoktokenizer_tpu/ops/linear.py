@@ -130,7 +130,7 @@ def modulate(x, shift, scale, axis=1):
         s = scale
         sh = jnp.zeros_like(s) if shift is None else shift
         return x * (1 + s) + sh
-    s = jnp.expand_dims(scale, axis)
+    s = 0 if scale is None else jnp.expand_dims(scale, axis)
     sh = 0 if shift is None else jnp.expand_dims(shift, axis)
     return x * (1 + s) + sh
 

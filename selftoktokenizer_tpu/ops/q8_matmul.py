@@ -32,12 +32,14 @@ BLOCK_M = 256
 BLOCK_N = 512
 
 
-def quantize_weight(w, axis=0):
-    """fp32/bf16 [K, N] -> (int8 [K, N], scales fp32 [N]) per-out-channel."""
+def quantize_weight(w, axis=-2):
+    """fp32/bf16 [..., K, N] -> (int8 [..., K, N], scales fp32 [..., N])
+    per-out-channel (reduce over the contraction axis, default -2)."""
     w = np.asarray(w, np.float32)
     s = np.max(np.abs(w), axis=axis) / 127.0
     s = np.maximum(s, 1e-8)
-    q = np.clip(np.round(w / s[None, :]), -127, 127).astype(np.int8)
+    q = np.clip(np.round(w / np.expand_dims(s, axis)),
+                -127, 127).astype(np.int8)
     return q, s.astype(np.float32)
 
 
@@ -134,10 +136,8 @@ def quantize_params_tree(params, min_size=2 ** 12):
     scan yields the 2-D [in, out] layout `q8_linear` expects."""
 
     def quant_leaf_dict(d):
-        w = np.asarray(d["w"], np.float32)
-        s = np.maximum(np.max(np.abs(w), axis=-2) / 127.0, 1e-8)
-        q = np.clip(np.round(w / s[..., None, :]), -127, 127).astype(np.int8)
-        out = {"w_q": jnp.asarray(q), "s_w": jnp.asarray(s, np.float32)}
+        q, s = quantize_weight(d["w"])   # one quantizer, kernel and tree
+        out = {"w_q": jnp.asarray(q), "s_w": jnp.asarray(s)}
         if "b" in d:
             out["b"] = d["b"]
         return out

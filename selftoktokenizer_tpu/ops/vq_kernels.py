@@ -68,6 +68,9 @@ def vq_argmax(z, embed, interpret=False):
     """
     N, D = z.shape
     C = embed.shape[0]
+    # silent truncation otherwise: the grid would simply skip the tail codes
+    assert C % BLOCK_C == 0, \
+        f"codebook size {C} must be a multiple of {BLOCK_C} (use supported())"
     pad = (-N) % BLOCK_N
     if pad:
         z = jnp.pad(z, ((0, pad), (0, 0)))

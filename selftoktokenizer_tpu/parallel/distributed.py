@@ -30,18 +30,31 @@ def init(coordinator_address: Optional[str] = None,
     With no arguments, jax.distributed auto-detects TPU pod topology from the
     environment; on a single host / non-pod it raises internally and we fall
     back to single-process. Idempotent."""
+    import os
+
     global _initialized
     if _initialized:
         return
+    # a silent fallback is only safe when NOTHING indicates a cluster: on a
+    # real pod a transient coordinator failure must crash, not degrade every
+    # host to an independent single-process run that trains the full dataset
+    # and overwrites the same checkpoints
+    cluster_env = any(os.environ.get(v) for v in (
+        "COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+        "MEGASCALE_COORDINATOR_ADDRESS",
+        "SLURM_JOB_NUM_NODES", "OMPI_COMM_WORLD_SIZE"))
+    # (TPU_WORKER_HOSTNAMES deliberately not consulted: single-host TPU
+    # environments set it to "localhost")
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
-        _initialized = True
     except Exception:
-        # single process (no coordinator / no pod env) — run locally
-        if num_processes not in (None, 1):
+        if num_processes not in (None, 1) or coordinator_address or \
+                cluster_env:
             raise
+        # single process (no coordinator / no pod env) — run locally
+    _initialized = True
 
 
 def global_batch(mesh, per_host_batch):

@@ -245,3 +245,53 @@ def test_qformer_mxu_slots_bounds():
     l2 = F.qformer_encoder_flops(aligned, 256)
     s2 = F.qformer_encoder_mxu_slots(aligned, 256)
     assert s2 / l2 < slots / logical  # aligned shapes waste fewer slots
+
+
+def test_partial_merge_preserves_tuple_structure():
+    """A flatten/unflatten round-trip must not turn tuple nodes into lists —
+    the merged tree must be pytree-structure-equal to the input."""
+    import jax
+
+    params = {"blocks": ({"w": np.zeros((2,))}, {"w": np.ones((2,))}),
+              "head": {"w": np.zeros((3,))}}
+    merged = partial_merge(params, {"/head/w": np.full((3,), 7.0)})
+    assert isinstance(merged["blocks"], tuple)
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(merged)
+    np.testing.assert_array_equal(merged["head"]["w"], np.full((3,), 7.0))
+
+
+def test_partial_merge_reports_unloaded_keys():
+    logs = []
+    params = {"a": np.zeros((2,)), "b": np.zeros((2,))}
+    partial_merge(params, {"/a": np.ones((2,))}, log=logs.append)
+    assert any("not in checkpoint" in l for l in logs)
+
+
+def test_attrdict_setitem_wraps():
+    """cfg['x'] = {...} and merge_overrides must yield attribute-accessible
+    nodes (easydict aliases __setitem__ to the wrapping __setattr__)."""
+    from selftoktokenizer_tpu.core.config import AttrDict, merge_overrides
+
+    cfg = AttrDict({"tokenizer": {"params": {"k": 8}}})
+    cfg["extra"] = {"nested": {"v": 1}}
+    assert cfg.extra.nested.v == 1
+    out = merge_overrides(cfg, {"tokenizer.params": {"k": 512}})
+    assert out.tokenizer.params.k == 512
+    cfg.update({"more": {"deep": 2}})
+    assert cfg.more.deep == 2
+
+
+def test_cli_yml_overrides_flag_values(tmp_path):
+    """The reference merge_from_args: flags land at the config top level but
+    yml-set keys win (infer_utils.py:156-162)."""
+    from selftoktokenizer_tpu.core.cli import parse_args
+
+    yml = tmp_path / "c.yml"
+    yml.write_text("steps: 7\ncommon:\n  is_eval: True\n")
+    cfg, args = parse_args(["--yml-path", str(yml), "--steps", "99",
+                            "--seed", "5"])
+    assert cfg.steps == 7          # yml wins over the flag
+    assert cfg.seed == 5           # flag lands at top level
+    assert cfg.common.is_eval is True
+    assert args.steps == 99        # raw namespace preserved
