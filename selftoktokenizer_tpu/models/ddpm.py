@@ -347,9 +347,7 @@ class GaussianDiffusion:
         assert eta == 0.0, "Reverse ODE only for deterministic path"
         out = self.p_mean_variance(model, x, t, clip_denoised, denoised_fn,
                                    model_kwargs)
-        eps = ((_extract(self.sqrt_recip_alphas_cumprod, t, x.shape) * x
-                - out["pred_xstart"])
-               / _extract(self.sqrt_recipm1_alphas_cumprod, t, x.shape))
+        eps = self._predict_eps_from_xstart(x, t, out["pred_xstart"])
         alpha_bar_next = _extract(self.alphas_cumprod_next, t, x.shape)
         mean_pred = (out["pred_xstart"] * jnp.sqrt(alpha_bar_next)
                      + jnp.sqrt(1 - alpha_bar_next) * eps)
@@ -463,6 +461,62 @@ class GaussianDiffusion:
 # timestep respacing (respace.py)
 # ---------------------------------------------------------------------------
 
+    # --- reference loop extras: progressive sampling, reverse-ODE loop,
+    #     full-chain bits-per-dim (gaussian_diffusion.py:529-618, 707-793,
+    #     1018-1072) ---------------------------------------------------
+
+    def p_sample_loop_progressive(self, model, shape, rng, noise=None,
+                                  clip_denoised=True, denoised_fn=None,
+                                  cond_fn=None, model_kwargs=None):
+        """Yields per-step {'sample','pred_xstart'} dicts (host loop; use
+        p_sample_loop for the fused scan)."""
+        rng, nrng = jax.random.split(rng)
+        img = noise if noise is not None else jax.random.normal(nrng, shape)
+        for ti in range(self.num_timesteps - 1, -1, -1):
+            rng, sub = jax.random.split(rng)
+            t = jnp.full((shape[0],), ti, jnp.int32)
+            out = self.p_sample(model, img, t, sub, clip_denoised, denoised_fn,
+                                cond_fn, model_kwargs)
+            yield out
+            img = out["sample"]
+
+    def ddim_reverse_sample_loop(self, model, x, clip_denoised=True,
+                                 denoised_fn=None, model_kwargs=None):
+        """Encode data to latents with the reverse ODE (lax.scan over
+        t = 0..T-1)."""
+        B = x.shape[0]
+
+        def body(im, ti):
+            t = jnp.full((B,), ti, jnp.int32)
+            out = self.ddim_reverse_sample(model, im, t, clip_denoised,
+                                           denoised_fn, model_kwargs)
+            return out["sample"], None
+
+        img, _ = jax.lax.scan(body, x, jnp.arange(self.num_timesteps))
+        return img
+
+    def calc_bpd_loop(self, model, x_start, rng, clip_denoised=True,
+                      model_kwargs=None):
+        """Full-chain VLB evaluation: per-timestep vb terms + xstart MSE +
+        prior bpd (gaussian_diffusion.py:1018-1072)."""
+        B = x_start.shape[0]
+        vb, mse = [], []
+        for ti in range(self.num_timesteps - 1, -1, -1):
+            rng, sub = jax.random.split(rng)
+            t = jnp.full((B,), ti, jnp.int32)
+            noise = jax.random.normal(sub, x_start.shape, x_start.dtype)
+            x_t = self.q_sample(x_start, t, noise)
+            out = self._vb_terms_bpd(model, x_start, x_t, t, clip_denoised,
+                                     model_kwargs)
+            vb.append(out["output"])
+            mse.append(mean_flat((out["pred_xstart"] - x_start) ** 2))
+        vb = jnp.stack(vb, axis=1)
+        mse = jnp.stack(mse, axis=1)
+        prior = self._prior_bpd(x_start)
+        total = jnp.sum(vb, axis=1) + prior
+        return {"total_bpd": total, "prior_bpd": prior, "vb": vb, "mse": mse}
+
+
 def space_timesteps(num_timesteps, section_counts):
     if isinstance(section_counts, str):
         if section_counts.startswith("ddim"):
@@ -506,11 +560,18 @@ class SpacedDiffusion(GaussianDiffusion):
         super().__init__(**kwargs)
 
     def _wrap_model(self, model):
+        # idempotent (respace.py:128-130 isinstance(_WrappedModel) guard):
+        # training_losses wraps, then its _vb_terms_bpd call reaches the
+        # p_mean_variance override which wraps AGAIN — tmap[tmap[t]] would
+        # silently query the model at clamped wrong timesteps
+        if getattr(model, "_ddpm_respaced", False):
+            return model
         tmap = jnp.asarray(self.timestep_map, jnp.int32)
 
         def wrapped(x, ts, **kw):
             return model(x, tmap[ts], **kw)
 
+        wrapped._ddpm_respaced = True
         return wrapped
 
     def p_mean_variance(self, model, *args, **kwargs):
@@ -638,66 +699,3 @@ class LossSecondMomentResampler(LossAwareSampler):
         return (self._loss_counts == self.history_per_term).all()
 
 
-def _attach_loop_extras():
-    """Attach the remaining reference loop methods (kept out of the class
-    body above for readability): progressive sampling, reverse-ODE loop,
-    full-chain bits-per-dim (gaussian_diffusion.py:529-618, 707-793,
-    1018-1072)."""
-
-    def p_sample_loop_progressive(self, model, shape, rng, noise=None,
-                                  clip_denoised=True, denoised_fn=None,
-                                  cond_fn=None, model_kwargs=None):
-        """Yields per-step {'sample','pred_xstart'} dicts (host loop; use
-        p_sample_loop for the fused scan)."""
-        rng, nrng = jax.random.split(rng)
-        img = noise if noise is not None else jax.random.normal(nrng, shape)
-        for ti in range(self.num_timesteps - 1, -1, -1):
-            rng, sub = jax.random.split(rng)
-            t = jnp.full((shape[0],), ti, jnp.int32)
-            out = self.p_sample(model, img, t, sub, clip_denoised, denoised_fn,
-                                cond_fn, model_kwargs)
-            yield out
-            img = out["sample"]
-
-    def ddim_reverse_sample_loop(self, model, x, clip_denoised=True,
-                                 denoised_fn=None, model_kwargs=None):
-        """Encode data to latents with the reverse ODE (lax.scan over
-        t = 0..T-1)."""
-        B = x.shape[0]
-
-        def body(im, ti):
-            t = jnp.full((B,), ti, jnp.int32)
-            out = self.ddim_reverse_sample(model, im, t, clip_denoised,
-                                           denoised_fn, model_kwargs)
-            return out["sample"], None
-
-        img, _ = jax.lax.scan(body, x, jnp.arange(self.num_timesteps))
-        return img
-
-    def calc_bpd_loop(self, model, x_start, rng, clip_denoised=True,
-                      model_kwargs=None):
-        """Full-chain VLB evaluation: per-timestep vb terms + xstart MSE +
-        prior bpd (gaussian_diffusion.py:1018-1072)."""
-        B = x_start.shape[0]
-        vb, mse = [], []
-        for ti in range(self.num_timesteps - 1, -1, -1):
-            rng, sub = jax.random.split(rng)
-            t = jnp.full((B,), ti, jnp.int32)
-            noise = jax.random.normal(sub, x_start.shape, x_start.dtype)
-            x_t = self.q_sample(x_start, t, noise)
-            out = self._vb_terms_bpd(model, x_start, x_t, t, clip_denoised,
-                                     model_kwargs)
-            vb.append(out["output"])
-            mse.append(mean_flat((out["pred_xstart"] - x_start) ** 2))
-        vb = jnp.stack(vb, axis=1)
-        mse = jnp.stack(mse, axis=1)
-        prior = self._prior_bpd(x_start)
-        total = jnp.sum(vb, axis=1) + prior
-        return {"total_bpd": total, "prior_bpd": prior, "vb": vb, "mse": mse}
-
-    GaussianDiffusion.p_sample_loop_progressive = p_sample_loop_progressive
-    GaussianDiffusion.ddim_reverse_sample_loop = ddim_reverse_sample_loop
-    GaussianDiffusion.calc_bpd_loop = calc_bpd_loop
-
-
-_attach_loop_extras()

@@ -209,3 +209,27 @@ def test_bpd_and_reverse_loops():
     outs = list(j.p_sample_loop_progressive(
         lambda x, t, **k: net.jax(x, t), (2, 4, 4, 2), jax.random.PRNGKey(1)))
     assert len(outs) == j.num_timesteps
+
+
+def test_respaced_vb_losses_remap_timesteps_once():
+    """training_losses on a respaced diffusion wraps the model, and its VB
+    path reaches the p_mean_variance override which wraps AGAIN — the wrap
+    must be idempotent (respace.py:128-130 _WrappedModel guard) or the model
+    is silently queried at tmap[tmap[t]]."""
+    diff = ddpm.create_diffusion("25", use_kl=True, diffusion_steps=100,
+                                 learn_sigma=True)
+    tmap = np.asarray(diff.timestep_map)
+    seen = []
+
+    def spy(x, ts, **kw):
+        seen.append(np.asarray(ts))
+        B = x.shape[0]
+        return jnp.zeros(x.shape[:-1] + (x.shape[-1] * 2,), x.dtype)
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 8, 8, 4))
+    t = jnp.array([24, 10])  # includes the max respaced index
+    diff.training_losses(spy, x, t, rng=jax.random.PRNGKey(1))
+    assert seen, "model never called"
+    for ts in seen:
+        np.testing.assert_array_equal(ts, tmap[np.asarray(t)])

@@ -192,3 +192,26 @@ def test_bench_train_tool():
     assert "flash_step_s" in stats and stats["flash_images_per_s"] > 0
     assert "xla_attn_step_s" in stats
     assert np.isfinite(stats["flash_loss"])
+
+
+def test_train_tool_save_per_epochs_tar(img_dir, tmp_path):
+    """--save-per-epochs 1 on a tar corpus must write the FIRST epoch's
+    boundary checkpoint (the epoch length is only learned when the pass
+    completes — the lookahead must surface the boundary at the right step)."""
+    import tarfile
+
+    for s in ("shard-000.tar", "shard-001.tar"):
+        with tarfile.open(tmp_path / s, "w") as tf:
+            for f in sorted(os.listdir(img_dir)):
+                tf.add(os.path.join(img_dir, f), arcname=f)
+    ckpt_dir = tmp_path / "ck"
+    # 2 shards x 8 images, batch 8 (divisible by the 8-device data mesh) ->
+    # 2 full batches per epoch; 5 steps cross the epoch-1 (step 2) and
+    # epoch-2 (step 4) boundaries
+    _run(["tools/train_tokenizer.py", "--yml-path", TINY_YML,
+          "--data_size", "64", "--batch-size", "8", "--steps", "5",
+          "--data-dir", str(tmp_path), "--save-per-epochs", "1",
+          "--log-interval", "1", "--ckpt-dir", str(ckpt_dir)], timeout=900)
+    saved = sorted(os.listdir(ckpt_dir))
+    assert "step_2" in saved, saved   # first epoch boundary
+    assert "step_4" in saved, saved   # second

@@ -57,7 +57,12 @@ def main():
 
     import jax
 
-    if jax.devices()[0].platform != "tpu":
+    # decide platform WITHOUT initializing the backend first: jax.devices()
+    # caches the backend set, making a later jax_platforms update a no-op —
+    # a CUDA host would then run the fp32 conformance path on GPU/TF32.
+    # Honor an explicit TPU request (JAX_PLATFORMS=tpu/axon); otherwise CPU.
+    plat = (jax.config.jax_platforms or "").lower()
+    if not any(p in plat for p in ("tpu", "axon")):
         jax.config.update("jax_platforms", "cpu")
 
     import numpy as np

@@ -93,6 +93,7 @@ def main():
     m_psnr, m_ssim = AverageMeter("psnr"), AverageMeter("ssim")
     m_lpips = AverageMeter("lpips")
     timer = Timer()
+    warm = [0]  # restarted after batch 1: jit compile must not count
     bs = args.batch_size
     for i in range(0, len(paths), bs):
         batch_paths = paths[i:i + bs]
@@ -111,10 +112,18 @@ def main():
             fid_fake.update(np.asarray(fid_feats(recon)))
         if lpips_params is not None:
             m_lpips.update(float(jnp.mean(lpips_fn(recon, ref01))), bs)
+        if not warm[0]:
+            # first batch carried the jit compiles — restart the throughput
+            # clock so images_per_s is the steady-state number
+            warm[0] = bs
+            timer = Timer()
         print(f"[{i + bs}/{len(paths)}] {m_psnr} {m_ssim}", flush=True)
 
+    steady = m_psnr.count - warm[0]
     out = {"n": m_psnr.count, "psnr": m_psnr.avg, "ssim": m_ssim.avg,
-           "images_per_s": m_psnr.count / timer.elapsed()}
+           # None when only the compile batch ran (no steady-state sample)
+           "images_per_s": (round(steady / timer.elapsed(), 3)
+                            if steady > 0 else None)}
     if fid_real is not None and fid_real.n >= 2:
         from selftoktokenizer_tpu.utils.metrics import frechet_distance
 

@@ -116,9 +116,11 @@ def main():
     ).astype(jnp.float32))
 
     latent = args.data_size // 8
-    # one-element holder: the shard branch only learns its epoch length
-    # after the first full pass over the tars
-    steps_per_epoch = [0]
+    # completed-pass counter, bumped by the data generators at the end of
+    # each full pass over the corpus (epoch); the consumer detects epoch
+    # boundaries through a one-batch lookahead (the generator only learns a
+    # pass ended when asked for the batch AFTER its last one)
+    passes = [0]
     # every batches() takes skip=N: resume realigns the deterministic data
     # stream by draining N batches WITHOUT running the on-device VAE encode
     # (a bare `next()` loop would replay the full encode work of the skipped
@@ -164,12 +166,10 @@ def main():
                         raise RuntimeError(
                             f"no full batch of {args.batch_size} decodable "
                             f"images in {len(shards)} shards")
-                    # epoch length = full batches per pass over the shards
-                    steps_per_epoch[0] = steps_per_epoch[0] or yielded
+                    passes[0] += 1
         else:
             paths = walk_all_files(args.data_dir, (".jpg", ".jpeg", ".png"))
             assert paths, f"no images or .tar shards in {args.data_dir}"
-            steps_per_epoch[0] = max(1, len(paths) // args.batch_size)
 
             def batches(skip=0):
                 n = 0
@@ -197,22 +197,47 @@ def main():
                             f"no full batch of {args.batch_size} decodable "
                             f"images in {args.data_dir} ({len(paths)} files) "
                             "— lower --batch-size or check the corpus")
+                    passes[0] += 1
 
     assert start < args.steps, \
         f"--resume-from-steps {start} >= --steps {args.steps}: nothing to do"
     step_fn = jax.jit(lambda s, b, r: train_step(s, opt, tcfg, tc, b, r),
                       donate_argnums=(0,) if args.donate_state else ())
     meter = AverageMeter("loss")
+
+    pending_losses = []
+
+    def with_epoch_flags(gen):
+        # one-batch lookahead: yields (batch, completed_epoch_number|None);
+        # boundaries crossed while draining the resume skip are not
+        # re-announced (their checkpoints already exist). The extra
+        # drawn-ahead batch doubles as data prefetch.
+        it = iter(gen)
+        prev = next(it)
+        seen = passes[0]
+        while True:
+            cur = next(it)
+            completed = passes[0] if passes[0] != seen else None
+            seen = passes[0]
+            yield prev, completed
+            prev = cur
+
     # realign the deterministic data stream with the uninterrupted run
-    batch_iter = batches(skip=start)
+    batch_iter = with_epoch_flags(batches(skip=start))
     t0 = time.time()
     with jax.set_mesh(mesh):
         for i in range(start, args.steps):
-            batch = jax.device_put(jnp.asarray(next(batch_iter)),
-                                   batch_sharding(mesh))
+            nxt, epoch_done = next(batch_iter)
+            batch = jax.device_put(jnp.asarray(nxt), batch_sharding(mesh))
             state, logs = step_fn(state, batch, jax.random.fold_in(key, i))
-            meter.update(float(logs["loss"]))
+            # keep the loss ON DEVICE: float() here would sync every step
+            # and serialize dispatch; the meter only needs host values when
+            # the log line prints
+            pending_losses.append(logs["loss"])
             if (i + 1) % args.log_interval == 0:
+                for lv in pending_losses:
+                    meter.update(float(lv))
+                pending_losses.clear()
                 sps = (i + 1 - start) / (time.time() - t0)
                 hf_logger.info(
                     f"step {i + 1}: loss={meter.avg:.4f} "
@@ -222,8 +247,8 @@ def main():
                 meter.reset()
             hit_interval = args.ckpt_interval and \
                 (i + 1) % args.ckpt_interval == 0
-            hit_epoch = args.save_per_epochs and steps_per_epoch[0] and \
-                (i + 1) % (steps_per_epoch[0] * args.save_per_epochs) == 0
+            hit_epoch = args.save_per_epochs and epoch_done is not None \
+                and epoch_done % args.save_per_epochs == 0
             if hit_interval or hit_epoch:
                 save_train_state(
                     os.path.join(args.ckpt_dir, f"step_{i + 1}"), state)
