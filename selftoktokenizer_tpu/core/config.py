@@ -72,6 +72,12 @@ class AttrDict(dict):
         return out
 
 
+def none_str(v):
+    """YAML 'None' strings -> real None: the reference configs spell None as
+    a bare `None`, which YAML parses as the string 'None'."""
+    return None if v in (None, "None", "") else v
+
+
 def load_config(path: str) -> AttrDict:
     """Parse a YAML config file (ref: infer_utils.py:165-168 parse_args_from_yaml)."""
     with open(path, "r") as f:

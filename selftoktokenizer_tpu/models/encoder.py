@@ -412,10 +412,23 @@ def _embed_patches(p, cfg: EncoderConfig, x):
     return tokens + pe.astype(tokens.dtype)
 
 
+def adaln_positions(cfg, length=None):
+    """Per-token adaLN position table (modules.py:313-316): diti positions
+    (1000 + 8k, diti_utils get_position) when the reference would have a
+    diti injected — i.e. Qformer + enable_enc_variable_size — else
+    arange. Shared by the trunks and tools/activation_diff so the
+    conformance harness can never drift from production."""
+    import numpy as _np
+
+    L = cfg.K if length is None else length
+    return _np.asarray(
+        1000 + 8 * _np.arange(L) if cfg.diti_positions else _np.arange(L))
+
+
 def _dual_trunk(p, cfg: EncoderConfig, x, mask=None):
     """The hot loop: ``depth`` DualBlocks as a lax.scan over stacked params."""
-    base = 1000 + 8 * np.arange(cfg.K) if cfg.diti_positions else np.arange(cfg.K)
-    positions = jnp.asarray(base, dtype=jnp.int32) if cfg.time_adaln else None
+    positions = (jnp.asarray(adaln_positions(cfg), jnp.int32)
+                 if cfg.time_adaln else None)
     query = jnp.broadcast_to(p["query_tokens"],
                              (x.shape[0], cfg.K, cfg.query_dim)).astype(x.dtype)
 
@@ -455,8 +468,8 @@ def get_encoder_outs(p, cfg: EncoderConfig, x):
             mask = jnp.asarray(m)[None, None]
         return _dual_trunk(p, cfg, x, mask=mask)
     if mode == "concat":
-        base = 1000 + 8 * np.arange(cfg.K) if cfg.diti_positions else np.arange(cfg.K)
-        positions = jnp.asarray(base, dtype=jnp.int32) if cfg.time_adaln else None
+        positions = (jnp.asarray(adaln_positions(cfg), jnp.int32)
+                     if cfg.time_adaln else None)
         query = jnp.broadcast_to(p["query_tokens"],
                                  (x.shape[0], cfg.K, cfg.query_dim)).astype(x.dtype)
 

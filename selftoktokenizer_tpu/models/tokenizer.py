@@ -55,10 +55,7 @@ class TokenizerConfig:
                          self.k_m, self.k_s)
 
 
-def _none(v):
-    """YAML 'None' strings -> real None (the reference configs spell None as
-    a bare `None`, which YAML parses as the string 'None')."""
-    return None if v in (None, "None", "") else v
+from selftoktokenizer_tpu.core.config import none_str as _none  # noqa: E402
 
 
 def tokenizer_config_from_params(params) -> TokenizerConfig:
@@ -74,18 +71,25 @@ def tokenizer_config_from_params(params) -> TokenizerConfig:
     dec_cfg_in = dict(p.get("decoder_config", {}))
     qcfg = dict(p.get("quantizer_config", {}))
 
-    if "Qformer" in enc and p.get("enable_enc_variable_size", False):
+    # the reference injects its diti into encoder_config/decoder_config ONLY
+    # for Qformer + enable_enc_variable_size (image_tokenizer.py:117-121);
+    # without it the blocks fall back to arange positions for adaLN
+    # (modules.py:313-316, sd3/mmdit.py:446-451)
+    has_diti = "Qformer" in enc and p.get("enable_enc_variable_size", False)
+    if has_diti:
         enc_cfg_in["pos_embed_max_size"] = 2 * latent_size
 
     encoder = build_encoder_config(
         enc, K=k, input_size=latent_size,
         encoder_hidden_size=p["encoder_hidden_size"],
         in_channels=p.get("in_channels", 16),
-        quantizer_config=qcfg, encoder_config=enc_cfg_in)
+        quantizer_config=qcfg, encoder_config=enc_cfg_in,
+        diti_positions=has_diti)
     decoder = build_decoder_config(
         p["model"], K=k, input_size=latent_size,
         encoder_hidden_size=p["encoder_hidden_size"],
-        in_channels=p.get("in_channels", 16), decoder_config=dec_cfg_in)
+        in_channels=p.get("in_channels", 16), decoder_config=dec_cfg_in,
+        diti_positions=has_diti)
     if p.get("gradient_checkpointing", False):
         encoder.gradient_checkpointing = True
         decoder.use_checkpoint = True
@@ -175,7 +179,10 @@ def tokenizer_loss(params, cfg: TokenizerConfig, x, rng, vq_state=None,
     if cfg.encoder.post_norm:
         outs_q = layer_norm(outs_q, **params["encoder"]["final_layer_norm3"])
 
-    enc_mask = get_encoder_mask(cfg.encoder, k_batch)
+    # plain-ViT encoders emit K groups of P patches (models_ours.py:138-155)
+    # — the mask must repeat per patch like encoder_apply's ppt handling
+    ppt = 1 if cfg.encoder.qformer_mode != "vit" else x_emb.shape[1]
+    enc_mask = get_encoder_mask(cfg.encoder, k_batch, ppt)
     ehs = outs_q * enc_mask[..., None].astype(outs_q.dtype)
 
     # CFG condition drop (mmdit.py:935-963) — rng-driven here, not module-state
@@ -205,10 +212,17 @@ def tokenizer_loss(params, cfg: TokenizerConfig, x, rng, vq_state=None,
         # to_quantizer_features_ema is hardwired None at :252-255 — and its
         # mask indexing is per-batch-broken; this is the intended form.)
         ema_emb = _embed_patches(ema_encoder_params, cfg.encoder, x)
-        ema_outs = jax.lax.stop_gradient(
-            get_encoder_outs(ema_encoder_params, cfg.encoder, ema_emb))
+        ema_outs = get_encoder_outs(ema_encoder_params, cfg.encoder, ema_emb)
+        if cfg.encoder.pre_norm:
+            # `outs` above is post-final_layer_norm; the EMA side must be
+            # normalized through ITS OWN norm params or the anchor measures
+            # norm-vs-unnorm distance instead of feature drift
+            ema_outs = layer_norm(ema_outs,
+                                  **ema_encoder_params["final_layer_norm"])
+        ema_outs = jax.lax.stop_gradient(ema_outs)
         last_idx = jnp.sum(enc_mask, axis=1) - 1
-        l2_mask = enc_mask & (jnp.arange(cfg.k)[None, :] != last_idx[:, None])
+        l2_mask = enc_mask & (jnp.arange(enc_mask.shape[1])[None, :]
+                              != last_idx[:, None])
         m = l2_mask[..., None].astype(outs.dtype)
         l2 = jnp.mean((outs * m - ema_outs * m) ** 2)
         loss = loss + L2_lr * l2

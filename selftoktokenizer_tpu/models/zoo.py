@@ -65,12 +65,12 @@ ENC_MODELS = {
 DIT_MODELS = ["MMDiT_XL", "MMDiT_XL_Renderer", "RenderDiT_XL"]
 
 
-def _none_str(v):
-    return None if v in (None, "None", "") else v
+from selftoktokenizer_tpu.core.config import none_str as _none_str  # noqa: E402
 
 
 def build_encoder_config(name, K, input_size, encoder_hidden_size, in_channels,
-                         quantizer_config, encoder_config=None) -> EncoderConfig:
+                         quantizer_config, encoder_config=None,
+                         diti_positions=True) -> EncoderConfig:
     """Named encoder -> EncoderConfig, folding in ImageTokenizer-provided
     kwargs (image_tokenizer.py:130-138) and the YAML encoder_config block."""
     spec = dict(ENC_MODELS[name])
@@ -86,6 +86,7 @@ def build_encoder_config(name, K, input_size, encoder_hidden_size, in_channels,
         K=K, input_size=input_size, encoder_hidden_size=encoder_hidden_size,
         in_channels=in_channels,
         qformer_mode=mode or qformer_mode,
+        diti_positions=diti_positions,
         code_dim=quantizer_config["code_dim"],
         codebook_size=quantizer_config["codebook_size"],
         **spec, **{k: v for k, v in ec.items()
@@ -96,7 +97,7 @@ def build_encoder_config(name, K, input_size, encoder_hidden_size, in_channels,
 
 
 def build_decoder_config(name, K, input_size, encoder_hidden_size, in_channels,
-                         decoder_config=None) -> MMDiTConfig:
+                         decoder_config=None, diti_positions=True) -> MMDiTConfig:
     """Named decoder -> MMDiTConfig (model_zoo.py:22-80: depth 24, patch 2,
     pos_embed_max_size 192, num_patches 36864, context 16->1536)."""
     assert name in DIT_MODELS, name
@@ -115,6 +116,7 @@ def build_decoder_config(name, K, input_size, encoder_hidden_size, in_channels,
         adm_in_channels=encoder_hidden_size,
         class_dropout_prob=dc.get("class_dropout_prob", 0.1),
         time_adaln=time_adaln if time_adaln else "t_emb",
+        diti_positions=diti_positions,
         # YAML spells None as the bare string 'None' (shipped configs)
         sd3_cond_pooling=_none_str(dc.get("sd3_cond_pooling")),
         uncond_y_file=_none_str(dc.get("uncond_y_file")),

@@ -80,7 +80,7 @@ def _init_dist_and_shim(ref):
         ref.vq.calc_entropy = shim
 
 
-def _build_ref_tokenizer():
+def _build_ref_tokenizer(variable_size=True):
     ref = get_ref()
     _init_dist_and_shim(ref)
     torch.manual_seed(3)
@@ -103,8 +103,15 @@ def _build_ref_tokenizer():
 
     ref.model_zoo.Enc_models["Enc-Qformer-Tiny-Test/2"] = _tiny_enc
     ref.model_zoo.DiT_models["MMDiT-Tiny-Test"] = _tiny_dit
+    rp = copy.deepcopy(PARAMS)
+    rp["enable_enc_variable_size"] = variable_size
+    if not variable_size:
+        # without variable size the reference injects NO diti and NO
+        # pos_embed_max_size (image_tokenizer.py:117-121): adaLN positions
+        # fall back to arange — pin that divergence class
+        rp["encoder_config"]["pos_embed_max_size"] = 16
     tok = ref.image_tokenizer.ImageTokenizer(
-        ema_enc=False, enc_decay=0.999, L2_lr=0.0, **copy.deepcopy(PARAMS))
+        ema_enc=False, enc_decay=0.999, L2_lr=0.0, **rp)
     with torch.no_grad():
         tok.model.pos_embed.copy_(torch.randn_like(tok.model.pos_embed) * 0.02)
     enliven_zero_init(tok, seed=103)
@@ -125,9 +132,15 @@ def _np_sd(module):
     return {k: v.detach().numpy() for k, v in module.state_dict().items()}
 
 
-@pytest.mark.parametrize("full_tokens", [False, True])
-def test_image_tokenizer_forward_matches_reference(full_tokens):
-    ref, tok = _build_ref_tokenizer()
+@pytest.mark.parametrize("full_tokens,variable_size", [
+    (False, True), (True, True),
+    # enable_enc_variable_size=False: the reference injects no diti, so
+    # adaLN positions are arange (modules.py:313-316) — diti_positions must
+    # be wired off on both encoder and decoder configs
+    (False, False),
+])
+def test_image_tokenizer_forward_matches_reference(full_tokens, variable_size):
+    ref, tok = _build_ref_tokenizer(variable_size)
     cb = tok.encoder.quantizer._codebook
     embed0 = cb.embed.detach().numpy()[0].copy()
     cluster0 = cb.cluster_size.detach().numpy()[0].copy()
@@ -174,7 +187,11 @@ def test_image_tokenizer_forward_matches_reference(full_tokens):
              query_dim=64, query_heads=8, bidirectional=False))
     if "MMDiT-Tiny-Test" not in zoo.DIT_MODELS:
         zoo.DIT_MODELS.append("MMDiT-Tiny-Test")
-    tcfg = tokenizer_config_from_params(copy.deepcopy(PARAMS))
+    jp = copy.deepcopy(PARAMS)
+    jp["enable_enc_variable_size"] = variable_size
+    if not variable_size:
+        jp["encoder_config"]["pos_embed_max_size"] = 16
+    tcfg = tokenizer_config_from_params(jp)
     params_j = tokenizer_from_state_dict(_np_sd(tok), tcfg)
     st = vq_mod.VQState(
         embed=jnp.asarray(embed0), cluster_size=jnp.asarray(cluster0),

@@ -75,7 +75,7 @@ def main():
         qcfg["smart_re_K"] = tcfg.k
     enc_extra = {k: v for k, v in dict(
         params_src.get("encoder_config", {})).items()
-        if k not in ("qformer_mode", "diti")}
+        if k not in ("qformer_mode", "diti", "pos_embed_max_size")}
     enc = ref.models_ours.QformerEncoder(
         K=tcfg.k, input_size=ecfg.input_size,
         encoder_hidden_size=params_src["encoder_hidden_size"],
@@ -149,16 +149,25 @@ def main():
         xj = jnp.asarray(x_np.transpose(0, 2, 3, 1))
         x_emb = _embed_patches(jparams, ecfg, xj)
         stages_j["x_embed"] = np.asarray(x_emb)
-        base = 1000 + 8 * np.arange(ecfg.K) if ecfg.diti_positions \
-            else np.arange(ecfg.K)
-        positions = jnp.asarray(base, jnp.int32) if ecfg.time_adaln else None
+        from selftoktokenizer_tpu.models.encoder import adaln_positions
+
+        positions = (jnp.asarray(adaln_positions(ecfg), jnp.int32)
+                     if ecfg.time_adaln else None)
         q = jnp.broadcast_to(jparams["query_tokens"],
                              (x_emb.shape[0], ecfg.K, ecfg.query_dim))
+        # the causal query mask of attn_mask configs (models_ours.py:328-332)
+        # — omitting it here would report drift the production path lacks
+        blk_mask = None
+        if ecfg.attn_mask:
+            N = x_emb.shape[1]
+            tril = np.tril(np.ones((ecfg.K, ecfg.K), dtype=bool))
+            blk_mask = jnp.asarray(np.concatenate(
+                [np.ones((ecfg.K, N), dtype=bool), tril], axis=1))[None, None]
         cx = x_emb
         for i in range(ecfg.depth):
             bp = jax.tree_util.tree_map(lambda a: a[i], jparams["blocks"])
             mods = dual_block_mods(bp, positions)
-            cx, q = dual_block_apply(bp, ecfg, cx, q, mods)
+            cx, q = dual_block_apply(bp, ecfg, cx, q, mods, mask=blk_mask)
             stages_j[f"block_{i}"] = (np.asarray(cx), np.asarray(q))
         outs = q
         if ecfg.pre_norm:

@@ -61,6 +61,17 @@ def main():
         lo, hi = process_slice(len(shards))
         shards = shards[lo:hi]
         paths = None
+        if args.limit:
+            # --limit is GLOBAL like the image branch (which truncates the
+            # path list before the per-host split): divide it across hosts.
+            # A zero share means this host contributes nothing (empty part),
+            # NOT unlimited.
+            import jax as _jax
+
+            P, r = _jax.process_count(), _jax.process_index()
+            args.limit = args.limit // P + (1 if r < args.limit % P else 0)
+            if args.limit == 0:
+                shards = []
     else:
         if args.limit:
             paths = paths[:args.limit]
