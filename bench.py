@@ -166,6 +166,12 @@ def main():
             lambda: pipe.decoding(dids, cfg_scale=4.0), iters=3)
         extras["decode50_cfg_images_per_s"] = round(cfg_rate, 3)
         extras["cfg_cost_ratio"] = round(decode_img_per_s / cfg_rate, 2)
+        # roofline for the CFG graph the pipeline EXECUTES (x-only uncond
+        # trunk when register_length == 0; utils/flops.py models both)
+        cfg_f = F.decode50_flops(pipe.tcfg, 256, steps=pipe.steps,
+                                 cfg_scale=4.0)
+        sol["decode50_cfg_sol_util"] = round(
+            cfg_rate / (V5E_BF16_PEAK / cfg_f), 3)
     except Exception as e:
         extras["decode50_cfg"] = f"error: {type(e).__name__}"
 

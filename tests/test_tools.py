@@ -215,3 +215,31 @@ def test_train_tool_save_per_epochs_tar(img_dir, tmp_path):
     saved = sorted(os.listdir(ckpt_dir))
     assert "step_2" in saved, saved   # first epoch boundary
     assert "step_4" in saved, saved   # second
+
+
+def test_merge_token_parts(tmp_path):
+    np.savez_compressed(tmp_path / "t.part0.npz",
+                        tokens=np.arange(8, dtype=np.int32).reshape(2, 4),
+                        paths=np.array(["a.jpg", "b.jpg"]))
+    np.savez_compressed(tmp_path / "t.part1.npz",
+                        tokens=np.arange(4, dtype=np.int32).reshape(1, 4),
+                        paths=np.array(["c.jpg"]))
+    out = tmp_path / "merged.npz"
+    r = _run(["tools/merge_token_parts.py",
+              "--glob", str(tmp_path / "t.part*.npz"), "--out", str(out)])
+    stats = json.loads(r.strip().splitlines()[-1])
+    assert stats["parts"] == 2 and stats["n"] == 3
+    z = np.load(out)
+    assert list(z["paths"]) == ["a.jpg", "b.jpg", "c.jpg"]
+    np.testing.assert_array_equal(z["tokens"][:2],
+                                  np.arange(8).reshape(2, 4))
+    # duplicate paths across parts fail loudly
+    np.savez_compressed(tmp_path / "t.part2.npz",
+                        tokens=np.zeros((1, 4), np.int32),
+                        paths=np.array(["a.jpg"]))
+    import subprocess
+    r2 = subprocess.run([sys.executable, "tools/merge_token_parts.py",
+                         "--glob", str(tmp_path / "t.part*.npz"),
+                         "--out", str(out)], env=ENV, cwd=REPO,
+                        capture_output=True, text=True)
+    assert r2.returncode != 0 and "duplicate" in r2.stderr
