@@ -18,6 +18,11 @@ def trace(log_dir="/tmp/selftok_trace", host_tracer_level=2,
 
         with trace("/tmp/t"):
             pipe.encoding(images).block_until_ready()
+
+    WARNING: do NOT use over the axon TPU tunnel — start_trace wedged the
+    remote terminal permanently (round-2 incident; chip unrecoverable for
+    9+ hours). On tunneled devices, profile with cumulative single-jit
+    deltas instead (docs/ARCHITECTURE.md measurement notes).
     """
     opts = jax.profiler.ProfileOptions()
     opts.host_tracer_level = host_tracer_level
