@@ -114,7 +114,10 @@ def main():
         return 1.0 / (vae_f / V5E_BF16_PEAK
                       + enc_slots / (V5E_BF16_PEAK / PASSES[prec]))
 
-    batch = 16
+    # B=32: the measured throughput sweet spot from the encode batch sweep
+    # (docs/ARCHITECTURE.md: B=16 190.7 / B=32 199.9 / B=64 203.3 img/s —
+    # B=64 buys +1.7% for 2x latency); the JSON reports the batch used.
+    batch = 32
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.uniform(-1, 1, (batch, 256, 256, 3)),
                          jnp.float32)

@@ -134,7 +134,24 @@ def dual_attention_apply(p, cfg: EncoderConfig, x, query, mask=None, x_mask=None
     _, K, Cq = query.shape
     H, QH = cfg.num_heads, cfg.query_heads
 
-    xqkv = linear(p["qkv"], x).reshape(B, N, 3, H, C // H).transpose(2, 0, 3, 1, 4)
+    # Fuse the two x-stream projections (qkv: C->3C and to_query_kv: C->2Cq,
+    # both bias-free over the same normed x) into ONE matmul when present:
+    # at the flagship's C=64 the contraction under-fills the 128-lane MXU, so
+    # halving the number of narrow matmuls per scanned block trims dispatch
+    # and pipeline bubbles. Column-wise weight concat leaves every output
+    # element's dot product (and its accumulation order over the single
+    # K<=128 tile) unchanged -> bit-identical to the split form; the
+    # bit-exact id goldens pin this.
+    kv_flat = None
+    if ("to_query_kv" in p and "w" in p["qkv"] and "b" not in p["qkv"]
+            and "b" not in p["to_query_kv"]):
+        wj = jnp.concatenate([p["qkv"]["w"], p["to_query_kv"]["w"]], axis=1)
+        fused = x @ wj.astype(x.dtype)
+        xqkv_flat, kv_flat = fused[..., :3 * C], fused[..., 3 * C:]
+    else:
+        xqkv_flat = linear(p["qkv"], x)
+
+    xqkv = xqkv_flat.reshape(B, N, 3, H, C // H).transpose(2, 0, 3, 1, 4)
     xq, xk, xv = xqkv[0], xqkv[1], xqkv[2]
     xq = _maybe_qknorm(p, "q_norm", xq, cfg.qk_norm)
     xk = _maybe_qknorm(p, "k_norm", xk, cfg.qk_norm)
@@ -144,7 +161,8 @@ def dual_attention_apply(p, cfg: EncoderConfig, x, query, mask=None, x_mask=None
     qq, qk, qv = qqkv[0], qqkv[1], qqkv[2]
 
     if cfg.zero_init:
-        kv = linear(p["to_query_kv"], x).reshape(
+        kv = (kv_flat if kv_flat is not None
+              else linear(p["to_query_kv"], x)).reshape(
             B, N, 2, QH, Cq // QH).transpose(2, 0, 3, 1, 4)
         x_out = sdpa(xq, xk, xv, mask=x_mask)
         k2, v2 = kv[0], kv[1]
@@ -173,7 +191,8 @@ def dual_attention_apply(p, cfg: EncoderConfig, x, query, mask=None, x_mask=None
         out = sdpa(jq, jk, jv, mask=mask)
         x_out, q_out = out[:, :, :N, :], out[:, :, N:, :]
     else:
-        kv = linear(p["to_query_kv"], x).reshape(
+        kv = (kv_flat if kv_flat is not None
+              else linear(p["to_query_kv"], x)).reshape(
             B, N, 2, QH, Cq // QH).transpose(2, 0, 3, 1, 4)
         x_out = sdpa(xq, xk, xv, mask=x_mask)
         k2 = jnp.concatenate([kv[0], qk], axis=2)
