@@ -61,11 +61,14 @@ def _rate(fn, iters=10, warm=1):
 BUDGET_S = 1380  # soft cap: optional sections are skipped past this
 
 
-def _device_watchdog(timeout_s=180):
+def _device_watchdog(timeout_s=360):
     """Fail legibly if the device never answers (a wedged axon tunnel hangs
     even jax.devices() forever — observed after a jax.profiler attempt).
     Runs a tiny op in a daemon thread; on timeout prints the one JSON line
-    with an error field and hard-exits (the stuck thread is unkillable)."""
+    with an error field and hard-exits (the stuck thread is unkillable).
+    360 s: a COLD tunnel's first op was observed at 37 s, and one cold-start
+    right after a tunnel reset exceeded 180 s (then recovered) — give the
+    slow-but-alive case room; a truly wedged tunnel never answers anyway."""
     import os
     import threading
 
