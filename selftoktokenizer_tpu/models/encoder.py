@@ -121,7 +121,8 @@ def _maybe_qknorm(p, name, t, enabled):
     return rms_norm(t, p[name]["weight"])
 
 
-def dual_attention_apply(p, cfg: EncoderConfig, x, query, mask=None, x_mask=None):
+def dual_attention_apply(p, cfg: EncoderConfig, x, query, mask=None, x_mask=None,
+                         flash=False):
     """Two-stream attention. x: [B,N,C] image stream; query: [B,K,Cq].
 
     uni (bidirectional=False): x self-attends; query attends to
@@ -129,6 +130,15 @@ def dual_attention_apply(p, cfg: EncoderConfig, x, query, mask=None, x_mask=None
     bi: one joint self-attention over [x || query] (modules.py:205-215).
     zero-init: uni with a tanh-gated, separately-softmaxed x-part
     (modules.py:176-204).
+
+    flash: route the (unmasked) query cross-attention through the Pallas
+    flash kernel — the bf16 serving path. The XLA sdpa materializes fp32
+    scores [B, QH, K, N+K] (at the flagship: ~400 MB per block at B=32,
+    ~1.6 GB of HBM traffic counting the softmax read/write and the PV
+    read); the fused kernel keeps them in VMEM. ``flash="interpret"``
+    forces the kernel in Pallas interpret mode for CPU tests. The x-stream
+    self-attention stays on XLA (head_dim 16 is below the kernel's 64-lane
+    minimum and its scores are ~12x smaller).
     """
     B, N, C = x.shape
     _, K, Cq = query.shape
@@ -143,8 +153,8 @@ def dual_attention_apply(p, cfg: EncoderConfig, x, query, mask=None, x_mask=None
     # K<=128 tile) unchanged -> bit-identical to the split form; the
     # bit-exact id goldens pin this.
     kv_flat = None
-    if ("to_query_kv" in p and "w" in p["qkv"] and "b" not in p["qkv"]
-            and "b" not in p["to_query_kv"]):
+    if ("to_query_kv" in p and "w" in p["qkv"] and "w" in p["to_query_kv"]
+            and "b" not in p["qkv"] and "b" not in p["to_query_kv"]):
         wj = jnp.concatenate([p["qkv"]["w"], p["to_query_kv"]["w"]], axis=1)
         fused = x @ wj.astype(x.dtype)
         xqkv_flat, kv_flat = fused[..., :3 * C], fused[..., 3 * C:]
@@ -199,7 +209,19 @@ def dual_attention_apply(p, cfg: EncoderConfig, x, query, mask=None, x_mask=None
         v2 = jnp.concatenate([kv[1], qv], axis=2)
         qq = _maybe_qknorm(p, "query_qnorm", qq, cfg.qk_norm)
         k2 = _maybe_qknorm(p, "query_knorm", k2, cfg.qk_norm)
-        q_out = sdpa(qq, k2, v2, mask=mask)
+        q_out = None
+        if flash and mask is None:
+            from selftoktokenizer_tpu.ops import flash_attention as fa
+
+            interp = flash == "interpret"
+            if interp or fa.supported(qq, k2):
+                # interpret mode (CPU tests) runs tiny K; shrink block_q so
+                # the grid is non-empty (hardware path always has K >= 128)
+                bq = min(fa.BLOCK_Q, qq.shape[2]) if interp else None
+                q_out = fa.flash_sdpa_key_mask(qq, k2, v2, interpret=interp,
+                                               block_q=bq)
+        if q_out is None:
+            q_out = sdpa(qq, k2, v2, mask=mask)
 
     x_out = linear(p["proj"], _merge_heads(x_out))
     q_out = linear(p["query_proj"], _merge_heads(q_out))
@@ -244,7 +266,7 @@ def dual_block_mods(p, positions):
     return tuple(jnp.split(mods, 6, axis=1))
 
 
-def dual_block_apply(p, cfg: EncoderConfig, x, q, mods, mask=None):
+def dual_block_apply(p, cfg: EncoderConfig, x, q, mods, mask=None, flash=False):
     shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = mods
     s = cfg.ln_scale
 
@@ -256,7 +278,7 @@ def dual_block_apply(p, cfg: EncoderConfig, x, q, mods, mask=None):
 
     x_attn, q_attn = dual_attention_apply(
         p, cfg, layer_norm(x), modulate(pre_q_norm(q), shift_msa, scale_msa, 0),
-        mask=mask)
+        mask=mask, flash=flash)
     x = x + x_attn
     x = x + mlp(p["mlp"], layer_norm(x))
     q = post_q_norm(s * q + gate(q_attn, gate_msa))
@@ -444,17 +466,32 @@ def adaln_positions(cfg, length=None):
         1000 + 8 * _np.arange(L) if cfg.diti_positions else _np.arange(L))
 
 
-def _dual_trunk(p, cfg: EncoderConfig, x, mask=None):
-    """The hot loop: ``depth`` DualBlocks as a lax.scan over stacked params."""
+def _dual_trunk(p, cfg: EncoderConfig, x, mask=None, trunk_dtype=None,
+                flash=False):
+    """The hot loop: ``depth`` DualBlocks as a lax.scan over stacked params.
+
+    trunk_dtype=bfloat16 + flash=True is the serving path: activations run
+    bf16 (``ops.linear`` casts weights to the activation dtype at use, so
+    the stored fp32 params need no conversion; norm/softmax statistics stay
+    fp32 inside the primitives) and the query attention runs in the fused
+    Pallas kernel. Ids on this path are margin-certified per corpus
+    (tools/tokenize_corpus --margin-stats), not bit-conformant.
+    """
     positions = (jnp.asarray(adaln_positions(cfg), jnp.int32)
                  if cfg.time_adaln else None)
+    if trunk_dtype is not None:
+        x = x.astype(trunk_dtype)
     query = jnp.broadcast_to(p["query_tokens"],
                              (x.shape[0], cfg.K, cfg.query_dim)).astype(x.dtype)
 
     def body(carry, bp):
         cx, cq = carry
         mods = dual_block_mods(bp, positions)
-        cx, cq = dual_block_apply(bp, cfg, cx, cq, mods, mask=mask)
+        # adaLN mods come out fp32 (the sinusoid is fp32); cast to the
+        # activation dtype so modulate/gate don't silently promote the
+        # whole query stream back to fp32 on the bf16 serving path
+        mods = tuple(m if m is None else m.astype(cq.dtype) for m in mods)
+        cx, cq = dual_block_apply(bp, cfg, cx, cq, mods, mask=mask, flash=flash)
         return (cx, cq), None
 
     if cfg.gradient_checkpointing:
@@ -463,9 +500,12 @@ def _dual_trunk(p, cfg: EncoderConfig, x, mask=None):
     return query
 
 
-def get_encoder_outs(p, cfg: EncoderConfig, x):
+def get_encoder_outs(p, cfg: EncoderConfig, x, trunk_dtype=None, flash=False):
     """Run the trunk; returns the K query tokens (or the K collected ViT
-    block outputs for the plain encoder, models_ours.py:138-150)."""
+    block outputs for the plain encoder, models_ours.py:138-150).
+
+    trunk_dtype/flash apply to the dual trunk only (the serving fast path);
+    the other interaction modes always run at the input dtype."""
     mode = cfg.qformer_mode
     if mode == "dual":
         mask = None
@@ -485,7 +525,8 @@ def get_encoder_outs(p, cfg: EncoderConfig, x):
             tril = np.tril(np.ones((cfg.K, cfg.K), dtype=bool))
             m = np.concatenate([np.ones((cfg.K, N), dtype=bool), tril], axis=1)
             mask = jnp.asarray(m)[None, None]
-        return _dual_trunk(p, cfg, x, mask=mask)
+        return _dual_trunk(p, cfg, x, mask=mask, trunk_dtype=trunk_dtype,
+                           flash=flash)
     if mode == "concat":
         positions = (jnp.asarray(adaln_positions(cfg), jnp.int32)
                      if cfg.time_adaln else None)
@@ -535,16 +576,24 @@ def get_encoder_mask(cfg: EncoderConfig, d, patches_per_token=1,
 
 
 def encoder_apply(p, cfg: EncoderConfig, x=None, d=None, hidden_states=None,
-                  diti=None, training=False):
+                  diti=None, training=False, trunk_dtype=None, flash=False):
     """Full encoder forward (models_ours.py:204-257).
 
     x: NHWC latents [B,h,w,C] fp32. d: optional [B] int token-depth.
     Returns the reference 7-tuple when d is given, else (outs_q, indices).
+
+    trunk_dtype/flash: serving fast path — run the dual trunk at
+    ``trunk_dtype`` (bf16) with the fused Pallas query attention; the
+    patch embed, final norms and the VQ always stay fp32 so the id
+    deviation is confined to the trunk and certified by margin stats.
     """
     del diti  # positions are derived from cfg (get_position is affine in k)
     x_emb = _embed_patches(p, cfg, x)
     if hidden_states is None:
-        outs = get_encoder_outs(p, cfg, x_emb)
+        outs = get_encoder_outs(p, cfg, x_emb, trunk_dtype=trunk_dtype,
+                                flash=flash)
+        if trunk_dtype is not None:
+            outs = outs.astype(jnp.float32)
         if cfg.pre_norm:
             outs = layer_norm(outs, **p["final_layer_norm"])
         outs_q, indices, loss, log_dict = vq_mod.vq_apply(
@@ -564,11 +613,14 @@ def encoder_apply(p, cfg: EncoderConfig, x=None, d=None, hidden_states=None,
     return encoder_hidden_states, outs, outs_q, enc_mask, loss, log_dict, indices
 
 
-def encoder_margins(p, cfg: EncoderConfig, x):
+def encoder_margins(p, cfg: EncoderConfig, x, trunk_dtype=None, flash=False):
     """(ids, VQ top-2 margins [B,K]) for conformance-readiness stats
-    (see models.vq.vq_margins)."""
+    (see models.vq.vq_margins). trunk_dtype/flash mirror encoder_apply so
+    margins certify the exact numerics of the serving path in use."""
     x_emb = _embed_patches(p, cfg, x)
-    outs = get_encoder_outs(p, cfg, x_emb)
+    outs = get_encoder_outs(p, cfg, x_emb, trunk_dtype=trunk_dtype, flash=flash)
+    if trunk_dtype is not None:
+        outs = outs.astype(jnp.float32)
     if cfg.pre_norm:
         outs = layer_norm(outs, **p["final_layer_norm"])
     return vq_mod.vq_margins(p["quantizer"], outs)

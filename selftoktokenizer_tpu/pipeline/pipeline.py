@@ -234,10 +234,18 @@ class SelftokPipeline:
         x0 = vae_encode_mode(vae_params, self.vae_cfg,
                              images.astype(jnp.bfloat16))
         x0 = SD3LatentFormat.process_in(x0).astype(jnp.float32)
-        # token-id conformance requires true fp32 matmuls: on TPU the default
-        # precision runs fp32 contractions as single-pass bf16
-        with jax.default_matmul_precision(precision or self.encode_precision):
-            _, ids = encoder_apply(enc_params, self.tcfg.encoder, x0)
+        prec = precision or self.encode_precision
+        # 'default' is the margin-certified bf16 serving path: the trunk runs
+        # bf16 activations with the fused Pallas query attention (the XLA
+        # form spills ~400 MB of fp32 scores per block to HBM at B=32).
+        # 'high'/'highest' keep fp32 activations + XLA attention — token-id
+        # conformance requires true fp32 matmuls (on TPU the default
+        # precision runs fp32 contractions as single-pass bf16).
+        serving = prec == "default" and self.tcfg.encoder.qformer_mode == "dual"
+        with jax.default_matmul_precision(prec):
+            _, ids = encoder_apply(
+                enc_params, self.tcfg.encoder, x0,
+                trunk_dtype=jnp.bfloat16 if serving else None, flash=serving)
         return ids
 
     def _margins_impl(self, enc_params, vae_params, images):
@@ -246,8 +254,14 @@ class SelftokPipeline:
         x0 = vae_encode_mode(vae_params, self.vae_cfg,
                              images.astype(jnp.bfloat16))
         x0 = SD3LatentFormat.process_in(x0).astype(jnp.float32)
+        # mirror _encode_impl's routing: margins must certify the exact
+        # numerics (bf16 trunk + flash kernel) of the serving path in use
+        serving = (self.encode_precision == "default"
+                   and self.tcfg.encoder.qformer_mode == "dual")
         with jax.default_matmul_precision(self.encode_precision):
-            return encoder_margins(enc_params, self.tcfg.encoder, x0)
+            return encoder_margins(
+                enc_params, self.tcfg.encoder, x0,
+                trunk_dtype=jnp.bfloat16 if serving else None, flash=serving)
 
     def _tokens_to_context(self, enc_params, ids):
         outs_q = vq_mod.get_output_from_indices(enc_params["quantizer"], ids)

@@ -261,3 +261,56 @@ def test_attn_mask_causal_queries_matches_reference():
     np.testing.assert_array_equal(np.asarray(got_ids), want_ids.numpy())
     np.testing.assert_allclose(np.asarray(got_q), want_q.numpy(),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_serving_flash_kernel_matches_sdpa_fp32():
+    """The Pallas flash query attention (interpret mode) at fp32 numerics
+    reproduces the XLA sdpa path: same ids, outputs to fp32 tolerance.
+    Covers the flash=True routing in dual_attention_apply (the bf16 serving
+    path on hardware, pipeline._encode_impl precision='default')."""
+    enc, _ = build_ref_encoder()
+    cfg = jax_cfg()
+    params = encoder_from_state_dict(_np_sd(enc), cfg)
+    x = jnp.asarray(np.random.default_rng(7).standard_normal(
+        (2, LATENT, LATENT, 16)).astype(np.float32))
+    q_plain, ids_plain = encoder_apply(params, cfg, x)
+    q_flash, ids_flash = encoder_apply(params, cfg, x, flash="interpret")
+    np.testing.assert_array_equal(np.asarray(ids_flash),
+                                  np.asarray(ids_plain))
+    np.testing.assert_allclose(np.asarray(q_flash), np.asarray(q_plain),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_serving_bf16_trunk_path():
+    """trunk_dtype=bf16 serving path: runs end-to-end, the flash kernel and
+    the XLA fallback agree at identical bf16 numerics, and margins mirror
+    the serving ids (certification contract of pipeline._margins_impl)."""
+    from selftoktokenizer_tpu.models.encoder import encoder_margins
+
+    enc, _ = build_ref_encoder()
+    cfg = jax_cfg()
+    params = encoder_from_state_dict(_np_sd(enc), cfg)
+    x = jnp.asarray(np.random.default_rng(11).standard_normal(
+        (2, LATENT, LATENT, 16)).astype(np.float32))
+
+    q16_flash, ids16_flash = encoder_apply(
+        params, cfg, x, trunk_dtype=jnp.bfloat16, flash="interpret")
+    q16_xla, ids16_xla = encoder_apply(
+        params, cfg, x, trunk_dtype=jnp.bfloat16, flash=False)
+    assert q16_flash.dtype == jnp.float32  # cast back before final norm/VQ
+    # same bf16 trunk, two attention impls: outputs agree to bf16 rounding
+    np.testing.assert_allclose(np.asarray(q16_flash), np.asarray(q16_xla),
+                               rtol=3e-2, atol=3e-2)
+    # deterministic smoke: the bf16 ids stay close to the fp32 ids on this
+    # fixed seed (serving certification is per-corpus margin stats, not
+    # bit-conformance)
+    _, ids32 = encoder_apply(params, cfg, x)
+    agree = float((np.asarray(ids16_flash) == np.asarray(ids32)).mean())
+    assert agree >= 0.75, agree
+
+    ids_m, margins = encoder_margins(params, cfg, x,
+                                     trunk_dtype=jnp.bfloat16,
+                                     flash="interpret")
+    np.testing.assert_array_equal(np.asarray(ids_m),
+                                  np.asarray(ids16_flash))
+    assert margins.shape == (2, K) and float(np.min(np.asarray(margins))) >= 0
