@@ -73,6 +73,18 @@ def global_batch(mesh, per_host_batch):
     return jax.tree_util.tree_map(one, per_host_batch)
 
 
+def local_rows(arr):
+    """This host's rows of a batch-sharded global jax.Array, in global row
+    order. Fully-addressable arrays (single controller) gather directly; on
+    multi-host each process reads only its addressable shards — the inverse
+    of `global_batch`."""
+    if not isinstance(arr, jax.Array) or arr.is_fully_addressable:
+        return np.asarray(arr)
+    shards = sorted(arr.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards])
+
+
 def process_slice(n_items, process_index=None, process_count=None):
     """Evenly split a dataset across hosts; returns (start, stop)."""
     pi = jax.process_index() if process_index is None else process_index

@@ -90,6 +90,39 @@ def test_eval_recon_rfid_lpips(img_dir):
     assert np.isfinite(stats["lpips"]) and stats["lpips"] >= 0
 
 
+def test_eval_recon_mesh_equality(img_dir):
+    """--mesh 8 (data-parallel over the 8 virtual CPU devices) produces the
+    same metrics as the single-device loop — the workload-5 contract: the
+    sharded batch + on-device metric sums + host-merged FID moments change
+    the execution layout, not the math (VERDICT r2 item 3)."""
+    common = ["tools/eval_recon.py", "--yml-path", TINY_YML,
+              "--data-dir", img_dir, "--data_size", "64",
+              "--batch-size", "8", "--steps", "2",
+              "--fid-weights", "random", "--lpips-weights", "random"]
+    single = json.loads(_run(common, timeout=900).strip().splitlines()[-1])
+    mesh = json.loads(_run(common + ["--mesh", "8"],
+                           timeout=900).strip().splitlines()[-1])
+    assert mesh["n"] == single["n"] == 8
+    for k in ("psnr", "ssim", "rfid", "lpips"):
+        np.testing.assert_allclose(mesh[k], single[k], rtol=2e-3, atol=1e-4,
+                                   err_msg=k)
+
+
+def test_tokenize_corpus_mesh_equality(img_dir, tmp_path):
+    """--mesh 8 shards each encode batch over the data axis; token ids are
+    bit-identical to the single-device run (per-image compute, no cross-batch
+    reduction anywhere in the encode path)."""
+    a, b = str(tmp_path / "a.npz"), str(tmp_path / "b.npz")
+    common = ["tools/tokenize_corpus.py", "--yml-path", TINY_YML,
+              "--data-dir", img_dir, "--data_size", "64",
+              "--batch-size", "8"]
+    _run(common + ["--out", a])
+    _run(common + ["--out", b, "--mesh", "8"])
+    da, db = np.load(a, allow_pickle=True), np.load(b, allow_pickle=True)
+    assert list(da["paths"]) == list(db["paths"])
+    np.testing.assert_array_equal(da["tokens"], db["tokens"])
+
+
 def test_tokenize_corpus_margin_stats(img_dir, tmp_path):
     out_file = str(tmp_path / "toks_m.npz")
     out = _run(["tools/tokenize_corpus.py", "--yml-path", TINY_YML,
@@ -215,6 +248,35 @@ def test_train_tool_save_per_epochs_tar(img_dir, tmp_path):
     saved = sorted(os.listdir(ckpt_dir))
     assert "step_2" in saved, saved   # first epoch boundary
     assert "step_4" in saved, saved   # second
+
+
+def test_train_tool_resume_shuffled_tar(img_dir, tmp_path):
+    """Kill-and-resume on a SHUFFLED tar corpus (--data-seed): the resumed
+    trajectory equals the uninterrupted one. The resume skip (2 batches =
+    exactly epoch 0) is consumed entirely by the loader's skip_samples path,
+    exercising the cross-epoch `n += min(sk, members_seen // B)` accounting
+    and the (seed, epoch)-deterministic shard + sample shuffle."""
+    import tarfile
+
+    for s in ("shard-000.tar", "shard-001.tar"):
+        with tarfile.open(tmp_path / s, "w") as tf:
+            for f in sorted(os.listdir(img_dir)):
+                tf.add(os.path.join(img_dir, f), arcname=f)
+    common = ["tools/train_tokenizer.py", "--yml-path", TINY_YML,
+              "--data_size", "64", "--batch-size", "8",
+              "--data-dir", str(tmp_path), "--data-seed", "7",
+              "--shuffle-buffer", "4", "--log-interval", "1"]
+    out_a = _run(common + ["--steps", "4", "--ckpt-interval", "10",
+                           "--ckpt-dir", str(tmp_path / "a")], timeout=900)
+    loss_a = json.loads(out_a.strip().splitlines()[-1])["final_loss"]
+
+    _run(common + ["--steps", "2", "--ckpt-interval", "2",
+                   "--ckpt-dir", str(tmp_path / "b")], timeout=900)
+    out_b = _run(common + ["--steps", "4", "--ckpt-interval", "10",
+                           "--ckpt-dir", str(tmp_path / "b"),
+                           "--resume-from-steps", "2"], timeout=900)
+    loss_b = json.loads(out_b.strip().splitlines()[-1])["final_loss"]
+    np.testing.assert_allclose(loss_b, loss_a, rtol=1e-5)
 
 
 def test_merge_token_parts(tmp_path):

@@ -1,10 +1,15 @@
 """Reconstruction-quality evaluation harness (BASELINE workloads 2-5):
 batch-tokenize an image folder / ImageNet shard, decode, and accumulate
-PSNR / SSIM (and FID statistics given a feature extractor) with DP sharding
-over the mesh.
+PSNR / SSIM (and rFID / LPIPS given feature extractors).
+
+``--mesh N`` runs the whole loop data-parallel over an N-device 'data' mesh
+(the reference reduces its meters across DDP ranks, log_utils.py:134-148;
+here the batch is a globally-sharded jax.Array, XLA inserts the reduction
+collectives, and the FID moment accumulators are merged across hosts
+exactly at the end). ``--mesh 0`` (default) is the plain single-device loop.
 
     python tools/eval_recon.py --yml-path ... --pretrained ... \
-        --vae-path ... --data-dir /path/to/images --limit 1000
+        --vae-path ... --data-dir /path/to/images --limit 1000 [--mesh 8]
 """
 
 import argparse
@@ -17,6 +22,18 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _allgather_f64(arr):
+    """Cross-host allgather of a float64 array, bit-exact (byte view — the
+    jax collective path would silently downcast fp64 to fp32 under the
+    default x64-disabled config). Returns [process_count, *arr.shape]."""
+    import jax
+    from jax.experimental import multihost_utils as mh
+
+    b = np.ascontiguousarray(arr).view(np.uint8)
+    g = np.asarray(mh.process_allgather(b))
+    return g.view(np.float64).reshape((jax.process_count(),) + arr.shape)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--yml-path", default="/root/reference/configs/res256/256-eval.yml")
@@ -25,9 +42,12 @@ def main():
     p.add_argument("--data-dir", required=True)
     p.add_argument("--data_size", type=int, default=256)
     p.add_argument("--steps", type=int, default=50)
-    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--batch-size", type=int, default=8,
+                   help="GLOBAL batch size (split across hosts and the mesh)")
     p.add_argument("--limit", type=int, default=0)
     p.add_argument("--renderer", action="store_true")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="data-parallel mesh size; 0 = single-device loop")
     p.add_argument("--fid-weights", default=None,
                    help="Inception-V3 state dict (.pth, pytorch-fid naming) "
                         "-> adds rFID to the report; pass 'random' for a "
@@ -45,20 +65,38 @@ def main():
     from selftoktokenizer_tpu.pipeline.preprocess import load_image
     from selftoktokenizer_tpu.utils.metrics import psnr, ssim
     from selftoktokenizer_tpu.utils.logging import AverageMeter, Timer
+    from selftoktokenizer_tpu.utils.io import walk_all_files
+    from selftoktokenizer_tpu.parallel.distributed import (
+        global_batch, local_rows, process_slice)
+    from selftoktokenizer_tpu.parallel.mesh import make_mesh
 
     cfg = load_config(args.yml_path)
     pipe = SelftokPipeline(cfg, ckpt_path=args.pretrained,
                            vae_path=args.vae_path, datasize=args.data_size,
                            steps=args.steps, decode_dtype=jnp.bfloat16)
 
-    from selftoktokenizer_tpu.utils.io import walk_all_files
-
     paths = walk_all_files(args.data_dir, (".jpg", ".jpeg", ".png"))
     if args.limit:
         paths = paths[:args.limit]
-    if len(paths) < args.batch_size:
+
+    bs = args.batch_size
+    mesh = None
+    if args.mesh:
+        if bs % args.mesh:
+            raise SystemExit(f"--batch-size {bs} must divide by --mesh {args.mesh}")
+        mesh = make_mesh(devices=jax.devices()[:args.mesh], data=args.mesh)
+        # every host loads its own slice of each GLOBAL batch; the loop count
+        # is derived from the global path list so all hosts stay in lockstep
+        pc = jax.process_count()
+        bs_local = bs // pc
+        lo, _ = process_slice(len(paths))
+        n_steps = (len(paths) // pc) // bs_local
+    else:
+        bs_local, lo = bs, 0
+        n_steps = len(paths) // bs
+    if n_steps == 0:
         raise SystemExit(
-            f"need at least --batch-size={args.batch_size} images under "
+            f"need at least --batch-size={bs} images under "
             f"{args.data_dir}, found {len(paths)}")
 
     # optional perceptual metrics (rFID needs Inception pool3 features over
@@ -90,34 +128,45 @@ def main():
                 load_torch_checkpoint(args.lpips_weights))
         lpips_fn = jax.jit(lambda a, b: lp.lpips_distance(lpips_params, a, b))
 
+    # global per-batch metric sums: under a data-sharded batch XLA computes
+    # the partial sums per shard and all-reduces (the pjit analog of the
+    # reference's dist.all_reduce'd AverageMeter, log_utils.py:134-148)
+    @jax.jit
+    def metric_sums(recon, ref):
+        return jnp.sum(psnr(recon, ref)), jnp.sum(ssim(recon, ref))
+
     m_psnr, m_ssim = AverageMeter("psnr"), AverageMeter("ssim")
     m_lpips = AverageMeter("lpips")
     timer = Timer()
     warm = [0]  # restarted after batch 1: jit compile must not count
-    bs = args.batch_size
-    for i in range(0, len(paths), bs):
-        batch_paths = paths[i:i + bs]
-        if len(batch_paths) < bs:
-            break  # one compiled batch shape; drop the short tail
+    for i in range(n_steps):
+        batch_paths = paths[lo + i * bs_local: lo + (i + 1) * bs_local]
         imgs = np.concatenate(
             [load_image(pth, args.data_size) for pth in batch_paths])
+        if mesh is not None:
+            imgs = global_batch(mesh, imgs)
         ids = pipe.encoding(imgs)
         recon = (pipe.decoding_with_renderer(ids) if args.renderer
                  else pipe.decoding(ids))
-        ref01 = jnp.asarray((imgs + 1.0) / 2.0)
-        m_psnr.update(float(jnp.mean(psnr(recon, ref01))), bs)
-        m_ssim.update(float(jnp.mean(ssim(recon, ref01))), bs)
+        ref01 = (jnp.asarray(imgs) + 1.0) / 2.0
+        s_psnr, s_ssim = metric_sums(recon, ref01)
+        m_psnr.update(float(s_psnr) / bs, bs)
+        m_ssim.update(float(s_ssim) / bs, bs)
         if fid_real is not None:
-            fid_real.update(np.asarray(fid_feats(ref01)))
-            fid_fake.update(np.asarray(fid_feats(recon)))
+            # each host accumulates fp64 moments over ITS feature rows only;
+            # the cross-host merge happens once at the end (sums are exact)
+            fid_real.update(local_rows(fid_feats(ref01)))
+            fid_fake.update(local_rows(fid_feats(recon)))
         if lpips_params is not None:
-            m_lpips.update(float(jnp.mean(lpips_fn(recon, ref01))), bs)
+            m_lpips.update(float(jnp.sum(lpips_fn(recon, ref01))) / bs, bs)
         if not warm[0]:
             # first batch carried the jit compiles — restart the throughput
             # clock so images_per_s is the steady-state number
             warm[0] = bs
             timer = Timer()
-        print(f"[{i + bs}/{len(paths)}] {m_psnr} {m_ssim}", flush=True)
+        if jax.process_index() == 0:
+            print(f"[{(i + 1) * bs}/{n_steps * bs}] {m_psnr} {m_ssim}",
+                  flush=True)
 
     steady = m_psnr.count - warm[0]
     out = {"n": m_psnr.count, "psnr": m_psnr.avg, "ssim": m_ssim.avg,
@@ -127,12 +176,18 @@ def main():
     if fid_real is not None and fid_real.n >= 2:
         from selftoktokenizer_tpu.utils.metrics import frechet_distance
 
+        if jax.process_count() > 1:
+            for m in (fid_real, fid_fake):
+                m.n = int(_allgather_f64(np.float64(m.n)).sum())
+                m.s1 = _allgather_f64(m.s1).sum(axis=0)
+                m.s2 = _allgather_f64(m.s2).sum(axis=0)
         mu_r, cov_r = fid_real.mean_cov()
         mu_f, cov_f = fid_fake.mean_cov()
         out["rfid"] = float(frechet_distance(mu_f, cov_f, mu_r, cov_r))
     if lpips_params is not None:
         out["lpips"] = m_lpips.avg
-    print(json.dumps(out))
+    if jax.process_index() == 0:
+        print(json.dumps(out))
 
 
 if __name__ == "__main__":

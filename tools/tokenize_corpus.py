@@ -29,6 +29,11 @@ def main():
     p.add_argument("--data_size", type=int, default=256)
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--limit", type=int, default=0)
+    p.add_argument("--mesh", type=int, default=0,
+                   help="data-parallel mesh over this host's first N local "
+                        "devices (each host's shard list is already private, "
+                        "so the corpus mesh never spans hosts); 0 = plain "
+                        "single-device encode")
     p.add_argument("--margin-stats", action="store_true",
                    help="also collect per-token VQ top-2 margin statistics "
                         "(argmax-tie risk instrumentation; see "
@@ -50,6 +55,17 @@ def main():
     pipe = SelftokPipeline(cfg, ckpt_path=args.pretrained,
                            vae_path=args.vae_path, datasize=args.data_size,
                            encode_only=True)
+
+    shard_in = None
+    if args.mesh:
+        from selftoktokenizer_tpu.parallel.mesh import make_mesh, shard_batch
+
+        if args.batch_size % args.mesh:
+            raise SystemExit(f"--batch-size {args.batch_size} must divide "
+                             f"by --mesh {args.mesh}")
+        mesh = make_mesh(devices=jax.local_devices()[:args.mesh],
+                         data=args.mesh)
+        shard_in = lambda imgs: shard_batch(mesh, jax.numpy.asarray(imgs))
 
     shards = walk_all_files(args.data_dir, (".tar",))
     paths = walk_all_files(args.data_dir, (".jpg", ".jpeg", ".png"))
@@ -132,6 +148,8 @@ def main():
             pad = args.batch_size - n_real
             imgs = np.concatenate([imgs, np.zeros(
                 (pad, *imgs.shape[1:]), imgs.dtype)])
+        if shard_in is not None:
+            imgs = shard_in(imgs)
         if args.margin_stats:
             ids, margins = pipe.encoding_margins(imgs)
             ids = np.asarray(ids)[:n_real]
