@@ -110,6 +110,17 @@ def preprocess_bytes(data, size):
 _IMG_EXT = (".jpg", ".jpeg", ".png")
 
 
+def shuffle_shards(shards, seed, epoch=0):
+    """Deterministic per-epoch shard permutation — webdataset's training
+    data contract (shardshuffle with an epoch-reseeded rng). Multi-host
+    callers permute the GLOBAL shard list with this, then split per host
+    (parallel.distributed.process_slice), so every epoch deals each host a
+    fresh random subset."""
+    order = np.random.default_rng([int(seed), int(epoch)]).permutation(
+        len(shards))
+    return [shards[i] for i in order]
+
+
 class TarShardLoader:
     """webdataset-style sharded-tar ingestion (the reference's trainer-side
     dataset format — requirements.txt pins webdataset).
@@ -122,14 +133,43 @@ class TarShardLoader:
     split the SHARD list across hosts (parallel.distributed.process_slice on
     shards, not files) before constructing the loader.
 
+    Training semantics (webdataset parity):
+
+    * ``seed`` (+ ``epoch``): shuffles THIS loader's shard list
+      deterministically (single-host; multi-host shuffles the global list
+      first — see `shuffle_shards`) and seeds the sample shuffle buffer.
+    * ``shuffle_buffer=B``: streaming sample shuffle — a B-slot buffer over
+      the member stream, emitting a uniformly random slot per incoming
+      member (webdataset's `.shuffle(B)`). Reads stay sequential; only the
+      emission order randomizes. Deterministic given (seed, epoch).
+    * ``skip_samples=N``: mid-epoch resume — drop the first N members of the
+      (post-shuffle) stream WITHOUT decoding them, then continue. Because
+      the stream is deterministic, a resumed loader continues exactly where
+      a run that consumed N samples stopped. Skip counts raw members; a
+      decode failure inside the skipped prefix shifts alignment by one (the
+      same hazard webdataset's sample-count resume has — failures are
+      corpus corruption, not steady state).
+
     yields (images, keys) with keys like 'shard-0000/member.jpg'; failed
-    decodes are dropped and counted in .stats().
+    decodes are dropped and counted in .stats(). ``members_seen`` counts
+    every streamed member (skipped + decoded + failed) — epoch-length
+    accounting for resume bookkeeping.
     """
 
-    def __init__(self, shards, size=256, batch=16, n_threads=4):
+    def __init__(self, shards, size=256, batch=16, n_threads=4, seed=None,
+                 epoch=0, shuffle_buffer=0, skip_samples=0,
+                 shard_shuffle=True):
         self.shards = list(shards)
+        # shard_shuffle=False: caller already permuted the (global) shard
+        # list — seed then only drives the sample shuffle buffer
+        if seed is not None and shard_shuffle:
+            self.shards = shuffle_shards(self.shards, seed, epoch)
         self.size, self.batch = size, batch
         self.n_threads = n_threads
+        self.seed, self.epoch = seed, epoch
+        self.shuffle_buffer = shuffle_buffer
+        self.skip_samples = skip_samples
+        self.members_seen = 0
         self._decoded = 0
         self._failed = 0
 
@@ -158,17 +198,47 @@ class TarShardLoader:
                         f = tf.extractfile(m)
                         if f is None:
                             continue
+                        self.members_seen += 1
                         yield f"{base}/{m.name}", f.read()
 
+        def shuffled():
+            # streaming sample shuffle over RAW members (pre-decode, so the
+            # resume skip below never pays decode for dropped samples);
+            # buffer holds compressed bytes — B * ~avg-image-size of RAM
+            if self.shuffle_buffer <= 0:
+                yield from members()
+                return
+            rng = np.random.default_rng(
+                [int(self.seed or 0), int(self.epoch), 1])
+            buf = []
+            for item in members():
+                if len(buf) < self.shuffle_buffer:
+                    buf.append(item)
+                    continue
+                j = int(rng.integers(len(buf)))
+                out, buf[j] = buf[j], item
+                yield out
+            while buf:  # drain in random order
+                j = int(rng.integers(len(buf)))
+                buf[j], buf[-1] = buf[-1], buf[j]
+                yield buf.pop()
+
+        def stream():
+            it = shuffled()
+            for _ in range(self.skip_samples):  # mid-epoch resume: no decode
+                if next(it, None) is None:
+                    return
+            yield from it
+
         # bounded sliding window of decode futures: Executor.map would drain
-        # members() eagerly (every shard's compressed bytes in memory at
+        # the stream eagerly (every shard's compressed bytes in memory at
         # once); capping in-flight work keeps the stream truly sequential
         def decoded():
             from collections import deque
             window = max(2 * self.n_threads, self.batch)
             pending = deque()
             with ThreadPoolExecutor(self.n_threads) as pool:
-                for item in members():
+                for item in stream():
                     pending.append(pool.submit(self._decode, item))
                     if len(pending) >= window:
                         yield pending.popleft().result()

@@ -113,6 +113,63 @@ def test_tar_shard_loader(img_dir, tmp_path):
     np.testing.assert_array_equal(imgs0, preprocess_file(src, 64))
 
 
+def test_tar_shuffle_deterministic(img_dir, tmp_path):
+    """webdataset-parity training semantics: (seed, epoch) fully determines
+    the shard order AND the sample-shuffle emission order; a different epoch
+    reshuffles; the shuffled stream is a permutation of the sequential one."""
+    from selftoktokenizer_tpu.data.native import TarShardLoader, shuffle_shards
+
+    shards = _make_shards(img_dir, tmp_path, n_shards=4)
+
+    def run(**kw):
+        keys = []
+        for _, names in TarShardLoader(shards, size=64, batch=3,
+                                       n_threads=2, **kw):
+            keys += list(names)
+        return keys
+
+    seq = run()
+    a = run(seed=5, epoch=0, shuffle_buffer=4)
+    b = run(seed=5, epoch=0, shuffle_buffer=4)
+    c = run(seed=5, epoch=1, shuffle_buffer=4)
+    assert a == b  # deterministic given (seed, epoch)
+    assert sorted(a) == sorted(seq)  # a permutation, nothing lost
+    assert a != seq and a != c  # it actually shuffles / reshuffles per epoch
+    # shard-level permutation is deterministic too
+    assert shuffle_shards(shards, 5, 0) == shuffle_shards(shards, 5, 0)
+    assert shuffle_shards(shards, 5, 0) != shuffle_shards(shards, 5, 1)
+
+
+def test_tar_skip_resume(img_dir, tmp_path):
+    """Mid-epoch resume: skip_samples=N continues the deterministic shuffled
+    stream exactly where a run that consumed N samples stopped — and the
+    skipped prefix is never decoded (decoded-counter contract)."""
+    from selftoktokenizer_tpu.data.native import TarShardLoader
+
+    shards = _make_shards(img_dir, tmp_path, n_shards=4)
+    kw = dict(size=64, batch=2, n_threads=2, seed=9, epoch=3,
+              shuffle_buffer=5)
+
+    full_keys, full_rows = [], []
+    for imgs, names in TarShardLoader(shards, **kw):
+        full_keys += list(names)
+        full_rows += [imgs[i] for i in range(imgs.shape[0])]
+
+    skip = 6
+    res = TarShardLoader(shards, skip_samples=skip, **kw)
+    res_keys, res_rows = [], []
+    for imgs, names in res:
+        res_keys += list(names)
+        res_rows += [imgs[i] for i in range(imgs.shape[0])]
+    assert res_keys == full_keys[skip:]
+    np.testing.assert_array_equal(np.stack(res_rows),
+                                  np.stack(full_rows[skip:]))
+    assert res.stats()["decoded"] == len(full_keys) - skip
+    assert res.members_seen == len(full_keys)
+    # skip past the end of the corpus: clean empty iteration
+    assert list(TarShardLoader(shards, skip_samples=10_000, **kw)) == []
+
+
 def test_tar_shard_loader_bad_member(img_dir, tmp_path):
     import tarfile
 

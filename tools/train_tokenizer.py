@@ -51,6 +51,14 @@ def main():
                         "(log_recon_interval parity)")
     p.add_argument("--synthetic", action="store_true",
                    help="random latents instead of images (perf/dev runs)")
+    p.add_argument("--data-seed", type=int, default=None,
+                   help="webdataset-parity shuffling for .tar corpora: "
+                        "per-epoch global shard shuffle + sample shuffle "
+                        "buffer, deterministic given (seed, epoch). None "
+                        "(default) keeps the sequential order")
+    p.add_argument("--shuffle-buffer", type=int, default=1000,
+                   help="sample shuffle-buffer size (active only with "
+                        "--data-seed; webdataset's .shuffle(N))")
     p.add_argument("--mesh-fsdp", type=int, default=1)
     p.add_argument("--donate-state", action="store_true",
                    help="donate the train state into each step — halves "
@@ -144,28 +152,51 @@ def main():
 
         shards = walk_all_files(args.data_dir, (".tar",))
         if shards:
-            # webdataset-style shard ingestion: shard list split per host
-            lo, hi = process_slice(len(shards))
-            shards = shards[lo:hi]
-            hf_logger.info(f"tar shards: {len(shards)} (this host)")
+            from selftoktokenizer_tpu.data.native import shuffle_shards
+
+            all_shards = shards
+            hf_logger.info(f"tar shards: {len(all_shards)} (global)")
+
+            def epoch_shards(epoch):
+                # per-epoch GLOBAL shuffle, then the per-host split — every
+                # epoch deals each host a fresh random shard subset
+                # (webdataset shardshuffle + split_by_node)
+                cur = (shuffle_shards(all_shards, args.data_seed, epoch)
+                       if args.data_seed is not None else all_shards)
+                lo, hi = process_slice(len(cur))
+                return cur[lo:hi]
 
             def batches(skip=0):
+                B = args.batch_size
                 n = 0
                 while True:
+                    # resume skip rides the loader (skip_samples drops raw
+                    # members pre-decode — no decode/VAE work replayed);
+                    # skipping whole batches keeps batch alignment intact
+                    sk = max(0, skip - n)
+                    loader = TarShardLoader(
+                        epoch_shards(passes[0]), size=args.data_size,
+                        batch=B, seed=args.data_seed, epoch=passes[0],
+                        shard_shuffle=False,  # epoch_shards shuffled globally
+                        shuffle_buffer=(args.shuffle_buffer
+                                        if args.data_seed is not None else 0),
+                        skip_samples=sk * B)
                     yielded = 0
-                    for imgs, _ in TarShardLoader(
-                            shards, size=args.data_size,
-                            batch=args.batch_size):
-                        if imgs.shape[0] == args.batch_size:
+                    for imgs, _ in loader:
+                        # loader already skipped the resume prefix: every
+                        # full batch here is live
+                        if imgs.shape[0] == B:
                             yielded += 1
-                            n += 1
-                            if n <= skip:
-                                continue
                             yield vae_encode(vae_params, jnp.asarray(imgs))
-                    if yielded == 0:
+                    # batches consumed this pass = full batches inside the
+                    # skipped prefix (a pass shorter than the skip advances
+                    # n by its true length — members_seen counts skipped
+                    # members too) + live yields
+                    n += min(sk, loader.members_seen // B) + yielded
+                    if yielded == 0 and sk == 0:
                         raise RuntimeError(
-                            f"no full batch of {args.batch_size} decodable "
-                            f"images in {len(shards)} shards")
+                            f"no full batch of {B} decodable images in "
+                            f"{len(all_shards)} shards")
                     passes[0] += 1
         else:
             paths = walk_all_files(args.data_dir, (".jpg", ".jpeg", ".png"))
