@@ -122,7 +122,7 @@ def _maybe_qknorm(p, name, t, enabled):
 
 
 def dual_attention_apply(p, cfg: EncoderConfig, x, query, mask=None, x_mask=None,
-                         flash=False):
+                         fast_attn=False):
     """Two-stream attention. x: [B,N,C] image stream; query: [B,K,Cq].
 
     uni (bidirectional=False): x self-attends; query attends to
@@ -131,14 +131,14 @@ def dual_attention_apply(p, cfg: EncoderConfig, x, query, mask=None, x_mask=None
     zero-init: uni with a tanh-gated, separately-softmaxed x-part
     (modules.py:176-204).
 
-    flash: route the (unmasked) query cross-attention through the Pallas
-    flash kernel — the bf16 serving path. The XLA sdpa materializes fp32
-    scores [B, QH, K, N+K] (at the flagship: ~400 MB per block at B=32,
-    ~1.6 GB of HBM traffic counting the softmax read/write and the PV
-    read); the fused kernel keeps them in VMEM. ``flash="interpret"``
-    forces the kernel in Pallas interpret mode for CPU tests. The x-stream
-    self-attention stays on XLA (head_dim 16 is below the kernel's 64-lane
-    minimum and its scores are ~12x smaller).
+    fast_attn: route the (unmasked) query cross-attention through
+    ops.attention.sdpa_bf16_scores — the bf16 serving path. The fp32 sdpa
+    materializes fp32 scores [B, QH, K, N+K] (at the flagship: ~400 MB per
+    block at B=32, ~1.6 GB of HBM traffic counting the softmax read/write
+    and the PV read); bf16 scores halve the spill. A VMEM-resident Pallas
+    kernel was raced and LOST at this shape — per-head D=64 matmuls can't
+    fill the wide MXU (docs/ARCHITECTURE.md round-3 ledger). The x-stream
+    self-attention stays fp32 (head_dim 16, scores ~12x smaller).
     """
     B, N, C = x.shape
     _, K, Cq = query.shape
@@ -149,9 +149,11 @@ def dual_attention_apply(p, cfg: EncoderConfig, x, query, mask=None, x_mask=None
     # at the flagship's C=64 the contraction under-fills the 128-lane MXU, so
     # halving the number of narrow matmuls per scanned block trims dispatch
     # and pipeline bubbles. Column-wise weight concat leaves every output
-    # element's dot product (and its accumulation order over the single
-    # K<=128 tile) unchanged -> bit-identical to the split form; the
-    # bit-exact id goldens pin this.
+    # element's dot product (and, for C<=128, its accumulation order over
+    # the single contraction tile) unchanged -> bit-identical to the split
+    # form at the flagship C=64 (the bit-exact id goldens pin this); for
+    # C>128 equality is pinned by the fused-vs-split test in test_encoder
+    # rather than a tiling-order argument.
     kv_flat = None
     if ("to_query_kv" in p and "w" in p["qkv"] and "w" in p["to_query_kv"]
             and "b" not in p["qkv"] and "b" not in p["to_query_kv"]):
@@ -209,18 +211,11 @@ def dual_attention_apply(p, cfg: EncoderConfig, x, query, mask=None, x_mask=None
         v2 = jnp.concatenate([kv[1], qv], axis=2)
         qq = _maybe_qknorm(p, "query_qnorm", qq, cfg.qk_norm)
         k2 = _maybe_qknorm(p, "query_knorm", k2, cfg.qk_norm)
-        q_out = None
-        if flash and mask is None:
-            from selftoktokenizer_tpu.ops import flash_attention as fa
+        if fast_attn and mask is None:
+            from selftoktokenizer_tpu.ops.attention import sdpa_bf16_scores
 
-            interp = flash == "interpret"
-            if interp or fa.supported(qq, k2):
-                # interpret mode (CPU tests) runs tiny K; shrink block_q so
-                # the grid is non-empty (hardware path always has K >= 128)
-                bq = min(fa.BLOCK_Q, qq.shape[2]) if interp else None
-                q_out = fa.flash_sdpa_key_mask(qq, k2, v2, interpret=interp,
-                                               block_q=bq)
-        if q_out is None:
+            q_out = sdpa_bf16_scores(qq, k2, v2)
+        else:
             q_out = sdpa(qq, k2, v2, mask=mask)
 
     x_out = linear(p["proj"], _merge_heads(x_out))
@@ -266,7 +261,7 @@ def dual_block_mods(p, positions):
     return tuple(jnp.split(mods, 6, axis=1))
 
 
-def dual_block_apply(p, cfg: EncoderConfig, x, q, mods, mask=None, flash=False):
+def dual_block_apply(p, cfg: EncoderConfig, x, q, mods, mask=None, fast_attn=False):
     shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = mods
     s = cfg.ln_scale
 
@@ -278,7 +273,7 @@ def dual_block_apply(p, cfg: EncoderConfig, x, q, mods, mask=None, flash=False):
 
     x_attn, q_attn = dual_attention_apply(
         p, cfg, layer_norm(x), modulate(pre_q_norm(q), shift_msa, scale_msa, 0),
-        mask=mask, flash=flash)
+        mask=mask, fast_attn=fast_attn)
     x = x + x_attn
     x = x + mlp(p["mlp"], layer_norm(x))
     q = post_q_norm(s * q + gate(q_attn, gate_msa))
@@ -467,10 +462,10 @@ def adaln_positions(cfg, length=None):
 
 
 def _dual_trunk(p, cfg: EncoderConfig, x, mask=None, trunk_dtype=None,
-                flash=False):
+                fast_attn=False):
     """The hot loop: ``depth`` DualBlocks as a lax.scan over stacked params.
 
-    trunk_dtype=bfloat16 + flash=True is the serving path: activations run
+    trunk_dtype=bfloat16 + fast_attn=True is the serving path: activations run
     bf16 (``ops.linear`` casts weights to the activation dtype at use, so
     the stored fp32 params need no conversion; norm/softmax statistics stay
     fp32 inside the primitives) and the query attention runs in the fused
@@ -491,7 +486,7 @@ def _dual_trunk(p, cfg: EncoderConfig, x, mask=None, trunk_dtype=None,
         # activation dtype so modulate/gate don't silently promote the
         # whole query stream back to fp32 on the bf16 serving path
         mods = tuple(m if m is None else m.astype(cq.dtype) for m in mods)
-        cx, cq = dual_block_apply(bp, cfg, cx, cq, mods, mask=mask, flash=flash)
+        cx, cq = dual_block_apply(bp, cfg, cx, cq, mods, mask=mask, fast_attn=fast_attn)
         return (cx, cq), None
 
     if cfg.gradient_checkpointing:
@@ -500,11 +495,11 @@ def _dual_trunk(p, cfg: EncoderConfig, x, mask=None, trunk_dtype=None,
     return query
 
 
-def get_encoder_outs(p, cfg: EncoderConfig, x, trunk_dtype=None, flash=False):
+def get_encoder_outs(p, cfg: EncoderConfig, x, trunk_dtype=None, fast_attn=False):
     """Run the trunk; returns the K query tokens (or the K collected ViT
     block outputs for the plain encoder, models_ours.py:138-150).
 
-    trunk_dtype/flash apply to the dual trunk only (the serving fast path);
+    trunk_dtype/fast_attn apply to the dual trunk only (the serving fast path);
     the other interaction modes always run at the input dtype."""
     mode = cfg.qformer_mode
     if mode == "dual":
@@ -526,7 +521,7 @@ def get_encoder_outs(p, cfg: EncoderConfig, x, trunk_dtype=None, flash=False):
             m = np.concatenate([np.ones((cfg.K, N), dtype=bool), tril], axis=1)
             mask = jnp.asarray(m)[None, None]
         return _dual_trunk(p, cfg, x, mask=mask, trunk_dtype=trunk_dtype,
-                           flash=flash)
+                           fast_attn=fast_attn)
     if mode == "concat":
         positions = (jnp.asarray(adaln_positions(cfg), jnp.int32)
                      if cfg.time_adaln else None)
@@ -576,13 +571,13 @@ def get_encoder_mask(cfg: EncoderConfig, d, patches_per_token=1,
 
 
 def encoder_apply(p, cfg: EncoderConfig, x=None, d=None, hidden_states=None,
-                  diti=None, training=False, trunk_dtype=None, flash=False):
+                  diti=None, training=False, trunk_dtype=None, fast_attn=False):
     """Full encoder forward (models_ours.py:204-257).
 
     x: NHWC latents [B,h,w,C] fp32. d: optional [B] int token-depth.
     Returns the reference 7-tuple when d is given, else (outs_q, indices).
 
-    trunk_dtype/flash: serving fast path — run the dual trunk at
+    trunk_dtype/fast_attn: serving fast path — run the dual trunk at
     ``trunk_dtype`` (bf16) with the fused Pallas query attention; the
     patch embed, final norms and the VQ always stay fp32 so the id
     deviation is confined to the trunk and certified by margin stats.
@@ -591,7 +586,7 @@ def encoder_apply(p, cfg: EncoderConfig, x=None, d=None, hidden_states=None,
     x_emb = _embed_patches(p, cfg, x)
     if hidden_states is None:
         outs = get_encoder_outs(p, cfg, x_emb, trunk_dtype=trunk_dtype,
-                                flash=flash)
+                                fast_attn=fast_attn)
         if trunk_dtype is not None:
             outs = outs.astype(jnp.float32)
         if cfg.pre_norm:
@@ -613,12 +608,12 @@ def encoder_apply(p, cfg: EncoderConfig, x=None, d=None, hidden_states=None,
     return encoder_hidden_states, outs, outs_q, enc_mask, loss, log_dict, indices
 
 
-def encoder_margins(p, cfg: EncoderConfig, x, trunk_dtype=None, flash=False):
+def encoder_margins(p, cfg: EncoderConfig, x, trunk_dtype=None, fast_attn=False):
     """(ids, VQ top-2 margins [B,K]) for conformance-readiness stats
-    (see models.vq.vq_margins). trunk_dtype/flash mirror encoder_apply so
+    (see models.vq.vq_margins). trunk_dtype/fast_attn mirror encoder_apply so
     margins certify the exact numerics of the serving path in use."""
     x_emb = _embed_patches(p, cfg, x)
-    outs = get_encoder_outs(p, cfg, x_emb, trunk_dtype=trunk_dtype, flash=flash)
+    outs = get_encoder_outs(p, cfg, x_emb, trunk_dtype=trunk_dtype, fast_attn=fast_attn)
     if trunk_dtype is not None:
         outs = outs.astype(jnp.float32)
     if cfg.pre_norm:

@@ -245,7 +245,7 @@ class SelftokPipeline:
         with jax.default_matmul_precision(prec):
             _, ids = encoder_apply(
                 enc_params, self.tcfg.encoder, x0,
-                trunk_dtype=jnp.bfloat16 if serving else None, flash=serving)
+                trunk_dtype=jnp.bfloat16 if serving else None, fast_attn=serving)
         return ids
 
     def _margins_impl(self, enc_params, vae_params, images):
@@ -255,13 +255,13 @@ class SelftokPipeline:
                              images.astype(jnp.bfloat16))
         x0 = SD3LatentFormat.process_in(x0).astype(jnp.float32)
         # mirror _encode_impl's routing: margins must certify the exact
-        # numerics (bf16 trunk + flash kernel) of the serving path in use
+        # numerics (bf16 trunk + bf16-scores attention) of the serving path in use
         serving = (self.encode_precision == "default"
                    and self.tcfg.encoder.qformer_mode == "dual")
         with jax.default_matmul_precision(self.encode_precision):
             return encoder_margins(
                 enc_params, self.tcfg.encoder, x0,
-                trunk_dtype=jnp.bfloat16 if serving else None, flash=serving)
+                trunk_dtype=jnp.bfloat16 if serving else None, fast_attn=serving)
 
     def _tokens_to_context(self, enc_params, ids):
         outs_q = vq_mod.get_output_from_indices(enc_params["quantizer"], ids)

@@ -3,6 +3,7 @@
 import numpy as np
 import pytest
 import torch
+import jax
 import jax.numpy as jnp
 
 from tests.ref_loader import get_ref
@@ -263,28 +264,59 @@ def test_attn_mask_causal_queries_matches_reference():
                                rtol=2e-4, atol=2e-5)
 
 
-def test_serving_flash_kernel_matches_sdpa_fp32():
-    """The Pallas flash query attention (interpret mode) at fp32 numerics
-    reproduces the XLA sdpa path: same ids, outputs to fp32 tolerance.
-    Covers the flash=True routing in dual_attention_apply (the bf16 serving
-    path on hardware, pipeline._encode_impl precision='default')."""
+@pytest.mark.parametrize("hidden", [64, 256])
+def test_fused_xstream_projection_matches_split(hidden):
+    """The fused qkv+to_query_kv matmul equals the split form exactly, at a
+    hidden size inside one contraction tile (64) AND one spanning multiple
+    MXU tiles (256) — the fusion gate falls back to split linears whenever
+    either projection carries a bias or a non-plain ('w') param layout."""
+    from selftoktokenizer_tpu.models.encoder import (
+        dual_attention_apply, encoder_init)
+
+    cfg = EncoderConfig(
+        input_size=16, patch_size=2, in_channels=16, hidden_size=hidden,
+        depth=1, num_heads=4, K=16, query_dim=128, query_heads=4,
+        codebook_size=32, qformer_mode="dual", bidirectional=False)
+    p = encoder_init(jax.random.PRNGKey(3), cfg)["blocks"]
+    bp = jax.tree_util.tree_map(lambda a: a[0], p)
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal((2, 64, hidden)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((2, 16, 128)), jnp.float32)
+
+    x_f, q_f = dual_attention_apply(bp, cfg, x, q)
+    # force the split path: a zero bias defeats the fusion gate without
+    # changing the math
+    bp_split = dict(bp)
+    bp_split["qkv"] = dict(bp["qkv"], b=jnp.zeros(bp["qkv"]["w"].shape[1]))
+    x_s, q_s = dual_attention_apply(bp_split, cfg, x, q)
+    np.testing.assert_array_equal(np.asarray(x_f), np.asarray(x_s))
+    np.testing.assert_array_equal(np.asarray(q_f), np.asarray(q_s))
+
+
+def test_serving_fast_attn_matches_sdpa_fp32():
+    """sdpa_bf16_scores at fp32 activations reproduces the fp32 sdpa path:
+    same ids, outputs to near-bf16-rounding tolerance. Covers the
+    fast_attn=True routing in dual_attention_apply (the bf16 serving path,
+    pipeline._encode_impl precision='default')."""
     enc, _ = build_ref_encoder()
     cfg = jax_cfg()
     params = encoder_from_state_dict(_np_sd(enc), cfg)
     x = jnp.asarray(np.random.default_rng(7).standard_normal(
         (2, LATENT, LATENT, 16)).astype(np.float32))
     q_plain, ids_plain = encoder_apply(params, cfg, x)
-    q_flash, ids_flash = encoder_apply(params, cfg, x, flash="interpret")
-    np.testing.assert_array_equal(np.asarray(ids_flash),
+    q_fast, ids_fast = encoder_apply(params, cfg, x, fast_attn=True)
+    np.testing.assert_array_equal(np.asarray(ids_fast),
                                   np.asarray(ids_plain))
-    np.testing.assert_allclose(np.asarray(q_flash), np.asarray(q_plain),
-                               rtol=1e-5, atol=1e-6)
+    # scores round to bf16 before softmax — outputs agree to bf16 noise
+    np.testing.assert_allclose(np.asarray(q_fast), np.asarray(q_plain),
+                               rtol=5e-2, atol=5e-2)
 
 
 def test_serving_bf16_trunk_path():
-    """trunk_dtype=bf16 serving path: runs end-to-end, the flash kernel and
-    the XLA fallback agree at identical bf16 numerics, and margins mirror
-    the serving ids (certification contract of pipeline._margins_impl)."""
+    """trunk_dtype=bf16 serving path: runs end-to-end, the bf16-scores
+    attention and the fp32-scores sdpa agree at identical bf16 activations,
+    and margins mirror the serving ids (certification contract of
+    pipeline._margins_impl)."""
     from selftoktokenizer_tpu.models.encoder import encoder_margins
 
     enc, _ = build_ref_encoder()
@@ -293,24 +325,24 @@ def test_serving_bf16_trunk_path():
     x = jnp.asarray(np.random.default_rng(11).standard_normal(
         (2, LATENT, LATENT, 16)).astype(np.float32))
 
-    q16_flash, ids16_flash = encoder_apply(
-        params, cfg, x, trunk_dtype=jnp.bfloat16, flash="interpret")
+    q16_fast, ids16_fast = encoder_apply(
+        params, cfg, x, trunk_dtype=jnp.bfloat16, fast_attn=True)
     q16_xla, ids16_xla = encoder_apply(
-        params, cfg, x, trunk_dtype=jnp.bfloat16, flash=False)
-    assert q16_flash.dtype == jnp.float32  # cast back before final norm/VQ
+        params, cfg, x, trunk_dtype=jnp.bfloat16, fast_attn=False)
+    assert q16_fast.dtype == jnp.float32  # cast back before final norm/VQ
     # same bf16 trunk, two attention impls: outputs agree to bf16 rounding
-    np.testing.assert_allclose(np.asarray(q16_flash), np.asarray(q16_xla),
+    np.testing.assert_allclose(np.asarray(q16_fast), np.asarray(q16_xla),
                                rtol=3e-2, atol=3e-2)
     # deterministic smoke: the bf16 ids stay close to the fp32 ids on this
     # fixed seed (serving certification is per-corpus margin stats, not
     # bit-conformance)
     _, ids32 = encoder_apply(params, cfg, x)
-    agree = float((np.asarray(ids16_flash) == np.asarray(ids32)).mean())
+    agree = float((np.asarray(ids16_fast) == np.asarray(ids32)).mean())
     assert agree >= 0.75, agree
 
     ids_m, margins = encoder_margins(params, cfg, x,
                                      trunk_dtype=jnp.bfloat16,
-                                     flash="interpret")
+                                     fast_attn=True)
     np.testing.assert_array_equal(np.asarray(ids_m),
-                                  np.asarray(ids16_flash))
+                                  np.asarray(ids16_fast))
     assert margins.shape == (2, K) and float(np.min(np.asarray(margins))) >= 0
