@@ -578,9 +578,10 @@ def encoder_apply(p, cfg: EncoderConfig, x=None, d=None, hidden_states=None,
     Returns the reference 7-tuple when d is given, else (outs_q, indices).
 
     trunk_dtype/fast_attn: serving fast path — run the dual trunk at
-    ``trunk_dtype`` (bf16) with the fused Pallas query attention; the
-    patch embed, final norms and the VQ always stay fp32 so the id
-    deviation is confined to the trunk and certified by margin stats.
+    ``trunk_dtype`` (bf16) with bf16-score query attention; the patch
+    embed and final norms stay fp32, and the VQ scores run single-pass
+    (vs the conformance path's HIGHEST pin). The id deviation is
+    certified by margin stats (tools/tokenize_corpus --margin-stats).
     """
     del diti  # positions are derived from cfg (get_position is affine in k)
     x_emb = _embed_patches(p, cfg, x)
@@ -592,7 +593,8 @@ def encoder_apply(p, cfg: EncoderConfig, x=None, d=None, hidden_states=None,
         if cfg.pre_norm:
             outs = layer_norm(outs, **p["final_layer_norm"])
         outs_q, indices, loss, log_dict = vq_mod.vq_apply(
-            p["quantizer"], outs, training=training)
+            p["quantizer"], outs, training=training,
+            fast=trunk_dtype is not None)
         if cfg.post_norm:
             outs_q = layer_norm(outs_q, **p["final_layer_norm3"])
     else:
@@ -618,7 +620,8 @@ def encoder_margins(p, cfg: EncoderConfig, x, trunk_dtype=None, fast_attn=False)
         outs = outs.astype(jnp.float32)
     if cfg.pre_norm:
         outs = layer_norm(outs, **p["final_layer_norm"])
-    return vq_mod.vq_margins(p["quantizer"], outs)
+    return vq_mod.vq_margins(p["quantizer"], outs,
+                             fast=trunk_dtype is not None)
 
 
 # ---------------------------------------------------------------------------

@@ -62,21 +62,24 @@ def project_out(p, x):
     return linear(p["project_out"], x) if "project_out" in p else x
 
 
-def vq_distances(p, z):
+def vq_distances(p, z, fast=False):
     """Cosine distances of l2-normalized inputs against the codebook.
 
     z: [..., code_dim] (already l2-normalized). Returns [..., codebook_size].
     fp32, HIGHEST matmul precision — op-order identical to the reference's
     ``einsum('h n d, h c d -> h n c')`` (vector_quantize_pytorch.py:561).
+    fast=True: DEFAULT precision (single-pass) for the margin-certified
+    serving path; exact fp32 on CPU either way.
     """
     return jax.lax.dot_general(
         z.astype(jnp.float32), p["embed"].astype(jnp.float32),
         dimension_numbers=(((z.ndim - 1,), (1,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=(jax.lax.Precision.DEFAULT if fast
+                   else jax.lax.Precision.HIGHEST),
     )
 
 
-def vq_encode(p, x, use_pallas=None):
+def vq_encode(p, x, use_pallas=None, fast=False):
     """x: [B, K, latent_dim] -> (ids [B,K] int32, z [B,K,code_dim]).
 
     On TPU the distance+argmax runs as the fused Pallas kernel
@@ -91,13 +94,13 @@ def vq_encode(p, x, use_pallas=None):
     if use_pallas is None:
         use_pallas = vk.supported(flat, embed)
     if use_pallas:
-        ids = vk.vq_argmax(flat, embed).reshape(z.shape[:-1])
+        ids = vk.vq_argmax(flat, embed, fast=fast).reshape(z.shape[:-1])
         return ids, z
-    dist = vq_distances(p, z)
+    dist = vq_distances(p, z, fast=fast)
     return jnp.argmax(dist, axis=-1).astype(jnp.int32), z
 
 
-def vq_margins(p, x):
+def vq_margins(p, x, fast=False):
     """(ids, top-2 cosine-score gap) per token.
 
     The margin is the argmax-tie safety budget: the reference picks codes by
@@ -108,7 +111,7 @@ def vq_margins(p, x):
     this over a corpus to certify lower encode precisions.
     """
     z = l2norm(project_in(p, x).astype(jnp.float32))
-    dist = vq_distances(p, z)
+    dist = vq_distances(p, z, fast=fast)
     ids = jnp.argmax(dist, axis=-1).astype(jnp.int32)
     top2 = jax.lax.top_k(dist, 2)[0]
     return ids, top2[..., 0] - top2[..., 1]
@@ -124,7 +127,7 @@ def get_output_from_indices(p, indices):
     return project_out(p, get_codes_from_indices(p, indices))
 
 
-def vq_apply(p, x, training=False, state=None, mask=None):
+def vq_apply(p, x, training=False, state=None, mask=None, fast=False):
     """Eval-mode VectorQuantize.forward subset (ids + quantized vectors).
 
     Returns (quantize, ids, loss, log_dict) matching the reference eval
@@ -132,7 +135,7 @@ def vq_apply(p, x, training=False, state=None, mask=None):
     through, zero loss. Training uses `vq_train_apply`.
     """
     del training, state, mask
-    ids, z = vq_encode(p, x)
+    ids, z = vq_encode(p, x, fast=fast)
     quant = get_codes_from_indices(p, ids)
     cos = jnp.einsum("...d,...d->...", quant, z)
     quant = project_out(p, quant.astype(x.dtype))

@@ -27,7 +27,7 @@ BLOCK_N = 256
 BLOCK_C = 4096
 
 
-def _kernel(z_ref, e_ref, ids_ref, best_ref, arg_ref):
+def _kernel(z_ref, e_ref, ids_ref, best_ref, arg_ref, *, precision):
     # 2-D column-vector layouts throughout (1-D s32 outputs trip Mosaic/XLA
     # layout mismatches on TPU)
     ci = pl.program_id(1)
@@ -39,11 +39,14 @@ def _kernel(z_ref, e_ref, ids_ref, best_ref, arg_ref):
 
     z = z_ref[:]                                   # [BLOCK_N, D]
     e = e_ref[:]                                   # [BLOCK_C, D]
-    # HIGHEST precision: token ids are conformance-critical; default MXU
-    # fp32 is single-pass bf16 and flips ~1% of argmaxes vs exact fp32
+    # HIGHEST precision by default: token ids are conformance-critical;
+    # default MXU fp32 is single-pass bf16 and flips ~1% of argmaxes vs
+    # exact fp32. The margin-certified serving path passes DEFAULT — at the
+    # 16-deep contraction HIGHEST costs 6 MXU passes over a tile that
+    # already wastes 7/8 of its depth (~4.5 ms -> ~0.8 ms at the flagship)
     s = jax.lax.dot_general(z, e, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)  # [N, C_blk]
+                            precision=precision)  # [N, C_blk]
     m = jnp.max(s, axis=-1, keepdims=True)         # [BLOCK_N, 1]
     # first-occurrence argmax within the chunk
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -60,11 +63,13 @@ def _kernel(z_ref, e_ref, ids_ref, best_ref, arg_ref):
         ids_ref[:] = arg_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def vq_argmax(z, embed, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "fast"))
+def vq_argmax(z, embed, interpret=False, fast=False):
     """z: [N, D] fp32 l2-normalized; embed: [C, D] fp32. -> ids [N] int32.
 
     N is padded to BLOCK_N internally; C must divide by BLOCK_C (32768 does).
+    fast=True: single-pass (DEFAULT-precision) scores for the margin-
+    certified serving path; fast=False keeps the conformance HIGHEST pin.
     """
     N, D = z.shape
     C = embed.shape[0]
@@ -76,8 +81,10 @@ def vq_argmax(z, embed, interpret=False):
         z = jnp.pad(z, ((0, pad), (0, 0)))
     Np = z.shape[0]
     grid = (Np // BLOCK_N, C // BLOCK_C)
+    precision = (jax.lax.Precision.DEFAULT if fast
+                 else jax.lax.Precision.HIGHEST)
     ids = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, precision=precision),
         grid=grid,
         in_specs=[
             pl.BlockSpec((BLOCK_N, D), lambda n, c: (n, 0),
