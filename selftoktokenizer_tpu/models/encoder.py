@@ -212,9 +212,11 @@ def dual_attention_apply(p, cfg: EncoderConfig, x, query, mask=None, x_mask=None
         qq = _maybe_qknorm(p, "query_qnorm", qq, cfg.qk_norm)
         k2 = _maybe_qknorm(p, "query_knorm", k2, cfg.qk_norm)
         if fast_attn and mask is None:
-            from selftoktokenizer_tpu.ops.attention import sdpa_bf16_scores
+            from selftoktokenizer_tpu.ops.attention import serving_attention
 
-            q_out = sdpa_bf16_scores(qq, k2, v2)
+            # length-adaptive: bf16-score sdpa at 256px (768 keys), the
+            # Pallas flash kernel at 512px (4608 keys, 3.3x over bf16-sdpa)
+            q_out = serving_attention(qq, k2, v2)
         else:
             q_out = sdpa(qq, k2, v2, mask=mask)
 

@@ -210,8 +210,13 @@ def joint_block_apply(bp, cfg: MMDiTConfig, context, x, c, pos_mods=None,
     k = jnp.concatenate([ctx_qkv[1], x_qkv[1]], axis=2)
     v = jnp.concatenate([ctx_qkv[2], x_qkv[2]], axis=2)
     from selftoktokenizer_tpu.ops import flash_attention as fa
+    from selftoktokenizer_tpu.ops.attention import serving_attention
 
-    if mask is None and cfg.use_flash_attention and fa.supported(q, k):
+    if mask is None and cfg.use_flash_attention and q.dtype == jnp.bfloat16:
+        # bf16 serving decode: length-adaptive attention (bf16-score sdpa at
+        # 256px joint length 768 — 2x over the flash kernel — flash at 512px)
+        attn = serving_attention(q, k, v, key_mask)
+    elif mask is None and cfg.use_flash_attention and fa.supported(q, k):
         attn = fa.flash_sdpa_key_mask(q, k, v, key_mask)
     elif key_mask is not None:
         bias = jnp.where(key_mask, 0.0, -jnp.inf).astype(jnp.float32)
@@ -565,8 +570,11 @@ def mmdit_uncond_xonly(params, cfg: MMDiTConfig, x, t):
         x_qkv, x_inter = dismantled_pre_attention(bp["x_block"], cfg, cx, c)
         q, k, v = x_qkv
         from selftoktokenizer_tpu.ops import flash_attention as fa
+        from selftoktokenizer_tpu.ops.attention import serving_attention
 
-        if cfg.use_flash_attention and fa.supported(q, k):
+        if cfg.use_flash_attention and q.dtype == jnp.bfloat16:
+            attn = serving_attention(q, k, v)
+        elif cfg.use_flash_attention and fa.supported(q, k):
             attn = fa.flash_sdpa_key_mask(q, k, v)
         else:
             attn = sdpa(q, k, v)

@@ -36,7 +36,7 @@ def sdpa(q, k, v, mask=None, scale: Optional[float] = None):
     return jnp.einsum("bhqk,bhkd->bhqd", w, v)
 
 
-def sdpa_bf16_scores(q, k, v, scale: Optional[float] = None):
+def sdpa_bf16_scores(q, k, v, scale: Optional[float] = None, key_mask=None):
     """SDPA that materializes the score matrix in bfloat16 — the serving
     fast path for per-head D=64 attention at batch.
 
@@ -55,12 +55,39 @@ def sdpa_bf16_scores(q, k, v, scale: Optional[float] = None):
     d = q.shape[-1]
     scale = scale if scale is not None else 1.0 / math.sqrt(d)
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * jnp.asarray(scale, q.dtype)
+    if key_mask is not None:
+        # finite -1e30 bias (same convention as the flash kernel / the fp32
+        # key-mask path); representable in bf16
+        logits = logits + jnp.where(
+            key_mask, 0.0, -1e30).astype(q.dtype)[:, None, None, :]
     m = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp((logits - m).astype(jnp.float32)).astype(q.dtype)
     o = jnp.einsum("bhqk,bhkd->bhqd", e, v,
                    preferred_element_type=jnp.float32)
     denom = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
     return (o / denom).astype(q.dtype)
+
+
+# Measured crossover (chip, 24-block scan, bf16, D=64 — docs/ARCHITECTURE.md
+# round-3 ledger): bf16-score XLA sdpa wins at Lk<=1280 (2.0x at 768), the
+# VMEM flash kernel wins beyond (1.2x at 1536, 3.3x at q512/k4608) where the
+# score spill grows quadratically while the kernel's stays zero.
+SERVING_ATTN_CROSSOVER = 1280
+
+
+def serving_attention(q, k, v, key_mask=None):
+    """Length-adaptive attention for bf16 serving paths (encode trunk,
+    diffusion decode, renderer): bf16-score sdpa at short key lengths, the
+    Pallas flash kernel at long ones, fp32 sdpa as the off-TPU fallback.
+    Callers gate on activation dtype — conformance/golden (fp32) paths must
+    use `sdpa` directly."""
+    from selftoktokenizer_tpu.ops import flash_attention as fa
+
+    if k.shape[2] <= SERVING_ATTN_CROSSOVER:
+        return sdpa_bf16_scores(q, k, v, key_mask=key_mask)
+    if fa.supported(q, k):
+        return fa.flash_sdpa_key_mask(q, k, v, key_mask)
+    return sdpa_key_mask(q, k, v, key_mask)
 
 
 def sdpa_key_mask(q, k, v, key_mask=None, scale: Optional[float] = None):

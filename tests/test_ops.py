@@ -109,6 +109,45 @@ def test_sdpa_vs_torch():
     np.testing.assert_allclose(got_key, got_full, rtol=1e-6, atol=1e-6)
 
 
+def test_sdpa_bf16_scores_and_serving_router():
+    """sdpa_bf16_scores matches fp32 sdpa to bf16-rounding tolerance (with
+    and without a key mask), and serving_attention routes short key lengths
+    through it / long ones through the fallback without changing semantics
+    beyond that tolerance."""
+    from selftoktokenizer_tpu.ops.attention import (
+        sdpa_bf16_scores, serving_attention, SERVING_ATTN_CROSSOVER)
+
+    q = jnp.asarray(rnd(2, 4, 8, 64, seed=11), jnp.bfloat16)
+    k = jnp.asarray(rnd(2, 4, 16, 64, seed=12), jnp.bfloat16)
+    v = jnp.asarray(rnd(2, 4, 16, 64, seed=13), jnp.bfloat16)
+    kmask = jnp.asarray(np.random.default_rng(14).random((2, 16)) > 0.3)
+    kmask = kmask.at[:, 0].set(True)
+
+    want = sdpa_key_mask(q, k, v, kmask).astype(jnp.float32)
+    got = sdpa_bf16_scores(q, k, v, key_mask=kmask).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-2, atol=5e-2)
+    # unmasked
+    np.testing.assert_allclose(
+        np.asarray(sdpa_bf16_scores(q, k, v).astype(jnp.float32)),
+        np.asarray(sdpa(q, k, v).astype(jnp.float32)),
+        rtol=5e-2, atol=5e-2)
+    # router: short keys -> bf16 path (bit-equal to calling it directly)
+    assert k.shape[2] <= SERVING_ATTN_CROSSOVER
+    np.testing.assert_array_equal(
+        np.asarray(serving_attention(q, k, v, kmask)),
+        np.asarray(sdpa_bf16_scores(q, k, v, key_mask=kmask)))
+    # long keys (CPU: flash unsupported -> fp32 key-mask fallback)
+    L = SERVING_ATTN_CROSSOVER + 128
+    kl = jnp.asarray(rnd(1, 2, L, 64, seed=15), jnp.bfloat16)
+    vl = jnp.asarray(rnd(1, 2, L, 64, seed=16), jnp.bfloat16)
+    ql = jnp.asarray(rnd(1, 2, 8, 64, seed=17), jnp.bfloat16)
+    np.testing.assert_allclose(
+        np.asarray(serving_attention(ql, kl, vl).astype(jnp.float32)),
+        np.asarray(sdpa(ql, kl, vl).astype(jnp.float32)),
+        rtol=5e-2, atol=5e-2)
+
+
 def test_mha_matches_reference_attention_wrapper():
     ref = get_ref()
     q, k, v = rnd(2, 6, 32, seed=1), rnd(2, 10, 32, seed=2), rnd(2, 10, 32, seed=3)
