@@ -470,9 +470,10 @@ def _dual_trunk(p, cfg: EncoderConfig, x, mask=None, trunk_dtype=None,
     trunk_dtype=bfloat16 + fast_attn=True is the serving path: activations run
     bf16 (``ops.linear`` casts weights to the activation dtype at use, so
     the stored fp32 params need no conversion; norm/softmax statistics stay
-    fp32 inside the primitives) and the query attention runs in the fused
-    Pallas kernel. Ids on this path are margin-certified per corpus
-    (tools/tokenize_corpus --margin-stats), not bit-conformant.
+    fp32 inside the primitives) and the query attention routes through
+    ops.attention.serving_attention (length-adaptive). Ids on this path are
+    margin-certified per corpus (tools/tokenize_corpus --margin-stats), not
+    bit-conformant.
     """
     positions = (jnp.asarray(adaln_positions(cfg), jnp.int32)
                  if cfg.time_adaln else None)

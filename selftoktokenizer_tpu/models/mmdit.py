@@ -78,14 +78,21 @@ class MMDiTConfig:
     # rematerialize joint-block activations in backward (the reference's
     # JointBlock use_checkpoint, mmdit.py:600-606)
     use_checkpoint: bool = False
+    # decouple width from depth for benchmarking (tools/bench_train.py
+    # --hidden: flagship-WIDTH MFU on a single chip needs hidden 1536 with
+    # fewer blocks than the 24 the parity rule implies). None = reference
+    # parity: hidden = 64 * depth.
+    hidden_override: Optional[int] = None
 
     @property
     def hidden_size(self):
+        if self.hidden_override is not None:
+            return self.hidden_override
         return 64 * self.depth          # "apply magic" (mmdit.py:707-709)
 
     @property
     def num_heads(self):
-        return self.depth
+        return self.hidden_size // 64   # head_dim 64 across the family
 
     @property
     def out_ch(self):

@@ -236,8 +236,8 @@ class SelftokPipeline:
         x0 = SD3LatentFormat.process_in(x0).astype(jnp.float32)
         prec = precision or self.encode_precision
         # 'default' is the margin-certified bf16 serving path: the trunk runs
-        # bf16 activations with the fused Pallas query attention (the XLA
-        # form spills ~400 MB of fp32 scores per block to HBM at B=32).
+        # bf16 activations with length-adaptive serving attention (bf16-score
+        # sdpa at 256px, flash kernel at 512px) and single-pass VQ scores.
         # 'high'/'highest' keep fp32 activations + XLA attention — token-id
         # conformance requires true fp32 matmuls (on TPU the default
         # precision runs fp32 contractions as single-pass bf16).

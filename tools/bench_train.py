@@ -47,6 +47,11 @@ def main():
                         "that fits a 16 GB chip without state donation "
                         "(the documented single-chip numbers); 16 needs "
                         "--donate or fsdp>=2")
+    p.add_argument("--hidden", type=int, default=None,
+                   help="decoder width override (decouples hidden from the "
+                        "64*depth parity rule): --depth 8 --hidden 1536 "
+                        "measures flagship-WIDTH MFU in the single-chip "
+                        "memory budget")
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--data_size", type=int, default=256)
     p.add_argument("--iters", type=int, default=10)
@@ -81,12 +86,14 @@ def main():
     # activations alone (encoder ~1.6 GB + decoder) blow the 16 GB chip;
     # compiled memory_analysis showed temp 9.2 GB at depth 12 / B8 with
     # decoder-only remat
+    hidden = args.hidden or 64 * args.depth
     tcfg = dataclasses.replace(
         tcfg,
         encoder=dataclasses.replace(tcfg.encoder,
                                     gradient_checkpointing=True),
         decoder=dataclasses.replace(tcfg.decoder, depth=args.depth,
-                                    context_dim=64 * args.depth,
+                                    hidden_override=args.hidden,
+                                    context_dim=hidden,
                                     use_checkpoint=True))
 
     tc = TrainConfig(dit_lr=1e-5, token_lr=5e-5)
@@ -129,7 +136,8 @@ def main():
                 f"{label}_loss": round(float(logs["loss"]), 4)}
 
     out = {"platform": jax.devices()[0].platform, "depth": args.depth,
-           "batch": B, "remat": True,
+           "hidden": hidden, "batch": B, "remat": True,
+           "donate": args.donate,
            # model-FLOPs convention: MFU excludes the remat recompute (the
            # hardware additionally replays ~1x fwd inside the backward)
            "train_flops_per_step_T": round(train_flops / 1e12, 2)}
