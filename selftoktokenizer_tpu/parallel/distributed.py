@@ -73,6 +73,20 @@ def global_batch(mesh, per_host_batch):
     return jax.tree_util.tree_map(one, per_host_batch)
 
 
+def allgather_f64(arr):
+    """Cross-host allgather of a float64 array, bit-exact (byte view — the
+    jax collective path would silently downcast fp64 to fp32 under the
+    default x64-disabled config). Returns [process_count, *arr.shape].
+    Used to merge FID moment accumulators at the end of a multi-host eval
+    (tools/eval_recon.py)."""
+    from jax.experimental import multihost_utils as mh
+
+    arr = np.ascontiguousarray(np.asarray(arr, np.float64))
+    b = arr.view(np.uint8)
+    g = np.asarray(mh.process_allgather(b))
+    return g.view(np.float64).reshape((jax.process_count(),) + arr.shape)
+
+
 def local_rows(arr):
     """This host's rows of a batch-sharded global jax.Array, in global row
     order. Fully-addressable arrays (single controller) gather directly; on

@@ -73,3 +73,77 @@ def test_two_process_jax_distributed(tmp_path):
     for i, (p, (out, err)) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{err[-3000:]}"
         assert f"proc {i}: ok global_devices=4" in out, out
+
+
+EVAL_WORKER = r"""
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # axon sitecustomize override
+
+pid = int(sys.argv[1])
+nproc = int(sys.argv[2])
+port = sys.argv[3]
+
+from selftoktokenizer_tpu.parallel import distributed as dist
+
+dist.init(coordinator_address=f"127.0.0.1:{port}", num_processes=nproc,
+          process_id=pid)
+
+import numpy as np
+import jax.numpy as jnp
+from selftoktokenizer_tpu.parallel.mesh import make_mesh
+
+n_local = len(jax.local_devices())
+mesh = make_mesh(data=jax.device_count())
+
+# the multi-host eval contract (tools/eval_recon.py --mesh):
+# 1) each host contributes its slice of a GLOBAL batch,
+local = np.arange(n_local * 3, dtype=np.float32).reshape(-1, 3) + 50.0 * pid
+g = dist.global_batch(mesh, local)
+
+# 2) on-device global metric sums over the sharded batch (the pjit analog
+#    of the reference's dist.all_reduce'd AverageMeter),
+with jax.set_mesh(mesh):
+    s = jax.jit(lambda a: jnp.sum(a, axis=None))(g)
+want = sum(float(np.sum(np.arange(n_local * 3) + 50.0 * p))
+           for p in range(nproc))
+assert abs(float(s) - want) < 1e-3, (float(s), want)
+
+# 3) local_rows returns exactly this host's rows (FID features accumulate
+#    per host without gathering the global feature matrix),
+back = dist.local_rows(g)
+np.testing.assert_array_equal(back, local)
+
+# 4) the final FID-moment merge is a bit-exact fp64 allgather (values with
+#    bits below fp32 resolution must survive).
+mine = np.float64([1.0 + 2.0 ** -40 * (pid + 1), 3.0 * pid])
+allg = dist.allgather_f64(mine)
+assert allg.shape == (nproc, 2)
+for p in range(nproc):
+    exact = np.float64([1.0 + 2.0 ** -40 * (p + 1), 3.0 * p])
+    np.testing.assert_array_equal(allg[p], exact)
+
+print(f"proc {pid}: eval primitives ok")
+"""
+
+
+def test_two_process_eval_primitives(tmp_path):
+    """The workload-5 eval path's multi-host primitives, under TWO real
+    processes: global_batch -> on-device global sums, local_rows inverse,
+    and the bit-exact fp64 moment allgather (round-3 mesh-aware
+    eval_recon)."""
+    script = tmp_path / "worker.py"
+    script.write_text(EVAL_WORKER)
+    env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=2")
+    port = "29747"
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(i), "2", port],
+        env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True) for i in range(2)]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for i, (p, (out, err)) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{err[-3000:]}"
+        assert f"proc {i}: eval primitives ok" in out, out

@@ -22,18 +22,6 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _allgather_f64(arr):
-    """Cross-host allgather of a float64 array, bit-exact (byte view — the
-    jax collective path would silently downcast fp64 to fp32 under the
-    default x64-disabled config). Returns [process_count, *arr.shape]."""
-    import jax
-    from jax.experimental import multihost_utils as mh
-
-    b = np.ascontiguousarray(arr).view(np.uint8)
-    g = np.asarray(mh.process_allgather(b))
-    return g.view(np.float64).reshape((jax.process_count(),) + arr.shape)
-
-
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--yml-path", default="/root/reference/configs/res256/256-eval.yml")
@@ -67,7 +55,7 @@ def main():
     from selftoktokenizer_tpu.utils.logging import AverageMeter, Timer
     from selftoktokenizer_tpu.utils.io import walk_all_files
     from selftoktokenizer_tpu.parallel.distributed import (
-        global_batch, local_rows, process_slice)
+        allgather_f64, global_batch, local_rows, process_slice)
     from selftoktokenizer_tpu.parallel.mesh import make_mesh
 
     cfg = load_config(args.yml_path)
@@ -178,9 +166,9 @@ def main():
 
         if jax.process_count() > 1:
             for m in (fid_real, fid_fake):
-                m.n = int(_allgather_f64(np.float64(m.n)).sum())
-                m.s1 = _allgather_f64(m.s1).sum(axis=0)
-                m.s2 = _allgather_f64(m.s2).sum(axis=0)
+                m.n = int(allgather_f64(np.float64(m.n)).sum())
+                m.s1 = allgather_f64(m.s1).sum(axis=0)
+                m.s2 = allgather_f64(m.s2).sum(axis=0)
         mu_r, cov_r = fid_real.mean_cov()
         mu_f, cov_f = fid_fake.mean_cov()
         out["rfid"] = float(frechet_distance(mu_f, cov_f, mu_r, cov_r))
