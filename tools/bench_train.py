@@ -10,8 +10,8 @@ MMDiT width is DERIVED from depth (hidden = 64*depth, mmdit.py:707-709 —
 family; their measured MFU is the representative single-chip number (same
 attention/MLP mix, same kernels). Memory (compiled memory_analysis, B=8,
 both trunks rematted): depth 12 = 4.2 arg + 4.2 out + 1.7 temp GB (fits);
-depth 16 = 8.3 + 8.3 + 1.6 GB — needs state donation, which the axon
-remote AOT compiler rejects at this HLO scale, or fsdp >= 2. Reports:
+depth 16 = 8.3 + 8.3 + 1.6 GB — needs state donation (--donate; proven
+on-chip round 3: 0.300 s/step donated) or fsdp >= 2. Reports:
 
   * step time and images/s for the jitted ``train_step`` (flow loss + VQ
     EMA + AdamW) on synthetic latents,
@@ -60,10 +60,9 @@ def main():
     p.add_argument("--donate", action="store_true",
                    help="donate the train state into each step — halves "
                         "live optimizer-state HBM (fits depth>=16 on one "
-                        "16 GB chip). Off by default: the axon remote AOT "
-                        "compiler rejects input/output aliasing at "
-                        "train-step HLO scale, so the default must work "
-                        "on the measurement platform")
+                        "16 GB chip; measured working on-chip round 3 — "
+                        "the round-2 remote-AOT aliasing rejection no "
+                        "longer reproduces)")
     args = p.parse_args()
 
     import jax

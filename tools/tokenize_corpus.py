@@ -29,6 +29,13 @@ def main():
     p.add_argument("--data_size", type=int, default=256)
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--limit", type=int, default=0)
+    p.add_argument("--encode-precision", default="highest",
+                   choices=("highest", "high", "default"),
+                   help="encoder numerics: 'highest' = bit-conformant fp32; "
+                        "'high'/'default' = the margin-gated fast paths "
+                        "('default' = the bf16 serving path, ~2x 'highest'; "
+                        "certify with --margin-stats — margins mirror the "
+                        "exact serving numerics)")
     p.add_argument("--mesh", type=int, default=0,
                    help="data-parallel mesh over this host's first N local "
                         "devices (each host's shard list is already private, "
@@ -54,7 +61,8 @@ def main():
     # tokenize-only workload: never materialize the 2B-param decoder
     pipe = SelftokPipeline(cfg, ckpt_path=args.pretrained,
                            vae_path=args.vae_path, datasize=args.data_size,
-                           encode_only=True)
+                           encode_only=True,
+                           encode_precision=args.encode_precision)
 
     shard_in = None
     if args.mesh:

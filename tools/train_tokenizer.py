@@ -63,9 +63,10 @@ def main():
     p.add_argument("--donate-state", action="store_true",
                    help="donate the train state into each step — halves "
                         "live optimizer-state HBM (required for the "
-                        "depth>=16 family members on a single 16 GB chip). "
-                        "Off by default: the axon remote AOT compiler "
-                        "rejects input/output aliasing at train-step scale.")
+                        "depth>=16 family members on a single 16 GB chip; "
+                        "proven on-chip round 3, tools/bench_train.py "
+                        "--donate). Off by default only so CPU test runs "
+                        "and chip runs execute the same graph.")
     args = p.parse_args()
 
     import jax
