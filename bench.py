@@ -39,12 +39,10 @@ REF_GPU_IMG_PER_S = 110.0   # derived anchor (band 90-130); see BASELINE.md
 
 
 def _sync(out):
-    # hard sync: fetch one element to the host. On the axon tunnel,
-    # block_until_ready alone can return before remote execution finishes
-    # (observed: a 0.166 s train step "measured" at 0.0037 s); a host fetch
-    # of an output buffer cannot.
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    np.asarray(leaf.ravel()[0])
+    # hard sync via host fetch (shared rationale + impl: utils/benchutil.py)
+    from selftoktokenizer_tpu.utils.benchutil import sync
+
+    sync(out)
 
 
 def _rate(fn, iters=10, warm=1):

@@ -187,6 +187,13 @@ class TarShardLoader:
         import tarfile
         from concurrent.futures import ThreadPoolExecutor
 
+        # per-iteration counters: re-iterating one instance (an epoch loop)
+        # must not double-count — members_seen is the resume bookkeeping's
+        # epoch length and stats() describes the LAST pass
+        self.members_seen = 0
+        self._decoded = 0
+        self._failed = 0
+
         def members():
             for shard in self.shards:
                 base = os.path.splitext(os.path.basename(shard))[0]

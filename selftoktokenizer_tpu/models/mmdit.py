@@ -84,6 +84,14 @@ class MMDiTConfig:
     # parity: hidden = 64 * depth.
     hidden_override: Optional[int] = None
 
+    def __post_init__(self):
+        # head_dim is 64 across the family — a non-multiple override would
+        # only surface as an opaque qkv reshape error deep in attention
+        if self.hidden_override is not None and self.hidden_override % 64:
+            raise ValueError(
+                f"hidden_override={self.hidden_override} must be a "
+                f"multiple of 64 (head_dim)")
+
     @property
     def hidden_size(self):
         if self.hidden_override is not None:

@@ -68,6 +68,23 @@ def _np_sd(m):
     return {k: v.detach().numpy() for k, v in m.state_dict().items()}
 
 
+
+def test_hidden_override_validation():
+    """hidden_override must be a multiple of the 64 head_dim — fail fast at
+    config construction, not as an opaque qkv reshape error."""
+    import dataclasses
+    import pytest as _pytest
+
+    from selftoktokenizer_tpu.models.mmdit import MMDiTConfig
+
+    cfg = MMDiTConfig(depth=4, hidden_override=1536)
+    assert cfg.hidden_size == 1536 and cfg.num_heads == 24
+    with _pytest.raises(ValueError, match="multiple of 64"):
+        MMDiTConfig(depth=4, hidden_override=1000)
+    # parity rule untouched without an override
+    assert MMDiTConfig(depth=24).hidden_size == 1536
+    assert MMDiTConfig(depth=24).num_heads == 24
+
 def test_mmdit_forward_matches_reference():
     m = build_ref_mmdit()
     cfg = jax_cfg()

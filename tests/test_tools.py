@@ -301,6 +301,33 @@ def test_train_tool_resume_shuffled_tar(img_dir, tmp_path):
     np.testing.assert_allclose(loss_b, loss_a, rtol=1e-5)
 
 
+def test_train_tool_resume_exact_tar(img_dir, tmp_path):
+    """--resume-skip-exact drains DECODED batches for the resume skip:
+    trajectory equality on a shuffled tar corpus (the failure-immune resume
+    mode; the default cheap raw-member skip is pinned by the test above)."""
+    import tarfile
+
+    for s in ("shard-000.tar", "shard-001.tar"):
+        with tarfile.open(tmp_path / s, "w") as tf:
+            for f in sorted(os.listdir(img_dir)):
+                tf.add(os.path.join(img_dir, f), arcname=f)
+    common = ["tools/train_tokenizer.py", "--yml-path", TINY_YML,
+              "--data_size", "64", "--batch-size", "8",
+              "--data-dir", str(tmp_path), "--data-seed", "7",
+              "--shuffle-buffer", "4", "--log-interval", "1",
+              "--resume-skip-exact"]
+    out_a = _run(common + ["--steps", "3", "--ckpt-interval", "10",
+                           "--ckpt-dir", str(tmp_path / "a")], timeout=900)
+    loss_a = json.loads(out_a.strip().splitlines()[-1])["final_loss"]
+    _run(common + ["--steps", "1", "--ckpt-interval", "1",
+                   "--ckpt-dir", str(tmp_path / "b")], timeout=900)
+    out_b = _run(common + ["--steps", "3", "--ckpt-interval", "10",
+                           "--ckpt-dir", str(tmp_path / "b"),
+                           "--resume-from-steps", "1"], timeout=900)
+    loss_b = json.loads(out_b.strip().splitlines()[-1])["final_loss"]
+    np.testing.assert_allclose(loss_b, loss_a, rtol=1e-5)
+
+
 def test_merge_token_parts(tmp_path):
     np.savez_compressed(tmp_path / "t.part0.npz",
                         tokens=np.arange(8, dtype=np.int32).reshape(2, 4),

@@ -19,20 +19,11 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _sync(out):
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    np.asarray(leaf.ravel()[0])
+from selftoktokenizer_tpu.utils.benchutil import rate_fn  # noqa: E402
 
 
 def _rate(fn, iters=10, warm=2):
-    for _ in range(warm):
-        out = fn()
-    _sync(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn()
-    _sync(out)
-    return iters / (time.perf_counter() - t0)
+    return rate_fn(fn, iters=iters, warm=warm)
 
 
 def main():

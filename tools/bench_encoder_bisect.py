@@ -3,7 +3,13 @@
 Method (docs/ARCHITECTURE.md "single-jit-delta bisect"): time the full
 scanned trunk at serving numerics (bf16 activations, B=32), then variants
 with ONE component removed each; the delta is that component's in-context
-cost (fusion-realistic, unlike timing components in isolation). Also times
+cost (fusion-realistic, unlike timing components in isolation).
+
+Fidelity caveat: this file re-implements the dual block so components can
+be deleted; it applies cfg.ln_scale on the query residuals but NOT the
+pre_norm routing — a TIMING proxy of encoder.dual_block_apply (same op mix
+and shapes; its "full" time matches the real trunk on-chip), not a
+value-level reference. Also times
 two clean matmul scans (query_linear / q_mlp shapes) to calibrate what MXU
 utilization a well-shaped matmul actually reaches on this chip.
 
@@ -25,20 +31,11 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _sync(out):
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    np.asarray(leaf.ravel()[0])
+from selftoktokenizer_tpu.utils.benchutil import time_fn  # noqa: E402
 
 
 def _time(fn, *args, iters=20, warm=3):
-    for _ in range(warm):
-        out = fn(*args)
-    _sync(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    _sync(out)
-    return (time.perf_counter() - t0) / iters
+    return time_fn(fn, *args, iters=iters, warm=warm)
 
 
 def main():
@@ -118,9 +115,10 @@ def main():
             q_attn = linear(bp["query_proj"],
                             q_out.transpose(0, 2, 1, 3).reshape(B, K, Cq))
 
-        cq = ln(cq + gate(q_attn, gate_msa))
+        s_ln = ecfg.ln_scale  # post_ln residual scale (1.97 when post_ln)
+        cq = ln(s_ln * cq + gate(q_attn, gate_msa))
         if "qmlp" not in skip:
-            cq = ln(cq + gate(
+            cq = ln(s_ln * cq + gate(
                 mlp(bp["q_mlp"], modulate(cq, shift_mlp, scale_mlp, 0)),
                 gate_mlp))
         return cx, cq

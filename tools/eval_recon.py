@@ -161,17 +161,21 @@ def main():
            # None when only the compile batch ran (no steady-state sample)
            "images_per_s": (round(steady / timer.elapsed(), 3)
                             if steady > 0 else None)}
-    if fid_real is not None and fid_real.n >= 2:
+    if fid_real is not None:
         from selftoktokenizer_tpu.utils.metrics import frechet_distance
 
+        # merge BEFORE any n-gate: the merge is collective, so gating on the
+        # per-host n would deadlock hosts whose local count differs (and the
+        # rfid threshold must see the GLOBAL count anyway)
         if jax.process_count() > 1:
             for m in (fid_real, fid_fake):
                 m.n = int(allgather_f64(np.float64(m.n)).sum())
                 m.s1 = allgather_f64(m.s1).sum(axis=0)
                 m.s2 = allgather_f64(m.s2).sum(axis=0)
-        mu_r, cov_r = fid_real.mean_cov()
-        mu_f, cov_f = fid_fake.mean_cov()
-        out["rfid"] = float(frechet_distance(mu_f, cov_f, mu_r, cov_r))
+        if fid_real.n >= 2:
+            mu_r, cov_r = fid_real.mean_cov()
+            mu_f, cov_f = fid_fake.mean_cov()
+            out["rfid"] = float(frechet_distance(mu_f, cov_f, mu_r, cov_r))
     if lpips_params is not None:
         out["lpips"] = m_lpips.avg
     if jax.process_index() == 0:

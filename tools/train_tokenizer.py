@@ -59,6 +59,14 @@ def main():
     p.add_argument("--shuffle-buffer", type=int, default=1000,
                    help="sample shuffle-buffer size (active only with "
                         "--data-seed; webdataset's .shuffle(N))")
+    p.add_argument("--resume-skip-exact", action="store_true",
+                   help="resume skip counts DECODED full batches (pays the "
+                        "decode cost of the skipped prefix but stays exact "
+                        "even when the corpus has failing members). Default "
+                        "is the cheap raw-member skip: free, and exact "
+                        "unless a decode failure sits inside the skipped "
+                        "prefix (which shifts the stream by one per "
+                        "failure)")
     p.add_argument("--mesh-fsdp", type=int, default=1)
     p.add_argument("--donate-state", action="store_true",
                    help="donate the train state into each step — halves "
@@ -169,32 +177,42 @@ def main():
 
             def batches(skip=0):
                 B = args.batch_size
+                exact = args.resume_skip_exact
                 n = 0
                 while True:
                     # resume skip rides the loader (skip_samples drops raw
                     # members pre-decode — no decode/VAE work replayed);
-                    # skipping whole batches keeps batch alignment intact
+                    # skipping whole batches keeps batch alignment intact.
+                    # --resume-skip-exact instead drains DECODED batches
+                    # (decode cost, immune to failed members in the prefix).
                     sk = max(0, skip - n)
+                    n_before = n
                     loader = TarShardLoader(
                         epoch_shards(passes[0]), size=args.data_size,
                         batch=B, seed=args.data_seed, epoch=passes[0],
                         shard_shuffle=False,  # epoch_shards shuffled globally
                         shuffle_buffer=(args.shuffle_buffer
                                         if args.data_seed is not None else 0),
-                        skip_samples=sk * B)
+                        skip_samples=0 if exact else sk * B)
                     yielded = 0
                     for imgs, _ in loader:
-                        # loader already skipped the resume prefix: every
-                        # full batch here is live
-                        if imgs.shape[0] == B:
-                            yielded += 1
-                            yield vae_encode(vae_params, jnp.asarray(imgs))
-                    # batches consumed this pass = full batches inside the
-                    # skipped prefix (a pass shorter than the skip advances
-                    # n by its true length — members_seen counts skipped
-                    # members too) + live yields
-                    n += min(sk, loader.members_seen // B) + yielded
-                    if yielded == 0 and sk == 0:
+                        if imgs.shape[0] != B:
+                            continue
+                        if exact and n - n_before < sk:
+                            n += 1  # decoded-batch-exact skip drain
+                            continue
+                        yielded += 1
+                        yield vae_encode(vae_params, jnp.asarray(imgs))
+                    if not exact:
+                        # full batches inside the cheap-skipped prefix (a
+                        # pass shorter than the skip advances n by its true
+                        # length — members_seen counts skipped members too)
+                        n += min(sk, loader.members_seen // B)
+                    n += yielded
+                    # progress guard: a pass that neither yielded a batch
+                    # nor advanced the resume skip would loop forever
+                    # (zero-length epoch, or all members failing decode)
+                    if yielded == 0 and n == n_before:
                         raise RuntimeError(
                             f"no full batch of {B} decodable images in "
                             f"{len(all_shards)} shards")
