@@ -34,6 +34,12 @@ def main():
                    help="GLOBAL batch size (split across hosts and the mesh)")
     p.add_argument("--limit", type=int, default=0)
     p.add_argument("--renderer", action="store_true")
+    p.add_argument("--encode-precision", default="highest",
+                   choices=("highest", "high", "default"),
+                   help="encoder numerics for the tokenize stage: with real "
+                        "weights, comparing this run at 'default' vs "
+                        "'highest' measures the serving tier's PSNR/rFID "
+                        "deviation")
     p.add_argument("--mesh", type=int, default=0,
                    help="data-parallel mesh size; 0 = single-device loop")
     p.add_argument("--fid-weights", default=None,
@@ -61,7 +67,8 @@ def main():
     cfg = load_config(args.yml_path)
     pipe = SelftokPipeline(cfg, ckpt_path=args.pretrained,
                            vae_path=args.vae_path, datasize=args.data_size,
-                           steps=args.steps, decode_dtype=jnp.bfloat16)
+                           steps=args.steps, decode_dtype=jnp.bfloat16,
+                           encode_precision=args.encode_precision)
 
     paths = walk_all_files(args.data_dir, (".jpg", ".jpeg", ".png"))
     if args.limit:
