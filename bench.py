@@ -276,7 +276,8 @@ def main():
         "batch": batch,
         # BENCH_r01 ran B=16 (~-5% vs B=32; sweep in docs/ARCHITECTURE.md) —
         # cross-round 'value' comparisons must account for the batch column
-        "batch_note": "r01=B16, r02+=B32",
+        "batch_note": "r01=B16, r02+=B32; 512px rows: r01-02=B4, r03+=B8",
+        "batch_512": 8,
         "anchor": {"ref_gpu_img_per_s": REF_GPU_IMG_PER_S,
                    "basis": "A100: VAE 273G bf16 @40% util + encoder 66G "
                             "fp32 @50% util (TF32 off); BASELINE.md"},

@@ -75,6 +75,11 @@ class MMDiTConfig:
     repeat_mask_token: bool = False
     # Pallas flash-attention for the joint attention (TPU only; auto-gated)
     use_flash_attention: bool = True
+    # bf16 decode attention numerics: True routes through the length-adaptive
+    # serving path (bf16-score sdpa below the measured crossover, flash
+    # beyond — the fast default); False keeps fp32-softmax flash/sdpa for
+    # quality A/Bs against the pre-round-3 behavior
+    serving_attention: bool = True
     # rematerialize joint-block activations in backward (the reference's
     # JointBlock use_checkpoint, mmdit.py:600-606)
     use_checkpoint: bool = False
@@ -227,7 +232,8 @@ def joint_block_apply(bp, cfg: MMDiTConfig, context, x, c, pos_mods=None,
     from selftoktokenizer_tpu.ops import flash_attention as fa
     from selftoktokenizer_tpu.ops.attention import serving_attention
 
-    if mask is None and cfg.use_flash_attention and q.dtype == jnp.bfloat16:
+    if (mask is None and cfg.use_flash_attention
+            and q.dtype == jnp.bfloat16 and cfg.serving_attention):
         # bf16 serving decode: length-adaptive attention (bf16-score sdpa at
         # 256px joint length 768 — 2x over the flash kernel — flash at 512px)
         attn = serving_attention(q, k, v, key_mask)
@@ -587,7 +593,8 @@ def mmdit_uncond_xonly(params, cfg: MMDiTConfig, x, t):
         from selftoktokenizer_tpu.ops import flash_attention as fa
         from selftoktokenizer_tpu.ops.attention import serving_attention
 
-        if cfg.use_flash_attention and q.dtype == jnp.bfloat16:
+        if (cfg.use_flash_attention and q.dtype == jnp.bfloat16
+                and cfg.serving_attention):
             attn = serving_attention(q, k, v)
         elif cfg.use_flash_attention and fa.supported(q, k):
             attn = fa.flash_sdpa_key_mask(q, k, v)

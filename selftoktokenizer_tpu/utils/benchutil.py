@@ -22,8 +22,9 @@ def sync(out):
 
 def time_fn(fn, *args, iters=10, warm=2):
     """Mean seconds per call of fn(*args), hard-synced."""
-    for _ in range(warm):
-        out = fn(*args)
+    out = fn(*args)            # always at least one warm call: the first
+    for _ in range(warm - 1):  # invocation compiles, and sync(out) needs a
+        out = fn(*args)        # bound output even at warm=0
     sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):

@@ -63,10 +63,14 @@ def main():
                    help="resume skip counts DECODED full batches (pays the "
                         "decode cost of the skipped prefix but stays exact "
                         "even when the corpus has failing members). Default "
-                        "is the cheap raw-member skip: free, and exact "
-                        "unless a decode failure sits inside the skipped "
-                        "prefix (which shifts the stream by one per "
-                        "failure)")
+                        "is the cheap raw-member skip: free, and exact only "
+                        "on corpora where every member decodes — a failed "
+                        "decode inside the skipped prefix shifts the stream "
+                        "by one sample, and a skip crossing an epoch "
+                        "boundary counts that epoch in RAW members "
+                        "(members_seen//B includes failures and the dropped "
+                        "partial tail), which can shift by whole batches. "
+                        "Use exact mode on any corpus with failing members")
     p.add_argument("--mesh-fsdp", type=int, default=1)
     p.add_argument("--donate-state", action="store_true",
                    help="donate the train state into each step — halves "
