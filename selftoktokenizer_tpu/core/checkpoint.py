@@ -32,10 +32,17 @@ def restore_checkpoint(path, like=None):
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
-    ckpter = ocp.StandardCheckpointer()
     if like is not None:
-        return ckpter.restore(path, target=like)
-    return ckpter.restore(path)
+        return ocp.StandardCheckpointer().restore(path, target=like)
+    # target-less restore must work ACROSS platforms (e.g. a chip-written
+    # trainer checkpoint exported to .pth on a CPU-only host): restore as
+    # plain numpy instead of re-materializing the saved device shardings
+    # (which fails with "Device TFRT_CPU_0 was not found" off-platform)
+    ckpter = ocp.PyTreeCheckpointer()
+    meta = ckpter.metadata(path).item_metadata
+    restore_args = jax.tree_util.tree_map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), dict(meta))
+    return ckpter.restore(path, restore_args=restore_args)
 
 
 def partial_merge(params, incoming, drop_mismatched=True, log=None):

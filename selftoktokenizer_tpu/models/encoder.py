@@ -228,14 +228,19 @@ def dual_attention_apply(p, cfg: EncoderConfig, x, query, mask=None, x_mask=None
 def dual_attention_init(key, cfg: EncoderConfig, dtype=jnp.float32):
     ks = jax.random.split(key, 8)
     C, Cq = cfg.hidden_size, cfg.query_dim
+    # DualBlock instantiates DualAttention through ViTBlock with
+    # qkv_bias=True (modules.py:105,284) — qkv/query_linear/to_query_kv all
+    # carry biases in the reference (found by the reverse-converter
+    # round-trip golden; a bias-less init would train a structurally
+    # different model than the reference's)
     p = {
-        "qkv": linear_init(ks[0], C, 3 * C, bias=False, dtype=dtype),
-        "query_linear": linear_init(ks[1], Cq, 3 * Cq, bias=False, dtype=dtype),
+        "qkv": linear_init(ks[0], C, 3 * C, dtype=dtype),
+        "query_linear": linear_init(ks[1], Cq, 3 * Cq, dtype=dtype),
         "proj": linear_init(ks[2], C, C, dtype=dtype),
         "query_proj": linear_init(ks[3], Cq, Cq, dtype=dtype),
     }
     if (not cfg.bidirectional) or cfg.zero_init:
-        p["to_query_kv"] = linear_init(ks[4], C, 2 * Cq, bias=False, dtype=dtype)
+        p["to_query_kv"] = linear_init(ks[4], C, 2 * Cq, dtype=dtype)
     if cfg.zero_init:
         p["gate"] = jnp.zeros((1, cfg.query_heads, 1, 1), dtype)
     if cfg.qk_norm:
