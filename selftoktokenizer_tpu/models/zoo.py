@@ -53,6 +53,10 @@ ENC_MODELS = {
     # TPU-build addition: a small smoke/test variant (not in the reference
     # zoo; used by CI-scale end-to-end runs)
     "Enc-Qformer-Uni-Tiny/2": dict(patch_size=2, hidden_size=32, num_heads=4, depth=2, query_dim=64, query_heads=8, bidirectional=False),
+    # TPU-build addition: single-chip convergence-campaign encoder — same
+    # shape family as the flagship Uni-XL/2 (x-hidden 64, uni dual blocks)
+    # at 6 blocks / query_dim 128 (configs/conv-small.yml)
+    "Enc-Qformer-Uni-S/2": dict(patch_size=2, hidden_size=64, num_heads=4, depth=6, query_dim=128, query_heads=8, bidirectional=False),
     # multi-res variant (encoder side of the bit-rotted MultiImageTokenizer)
     "Enc-Qformer-Multi-Res-Uni-XL/2": dict(
         patch_size=2, hidden_size=64, num_heads=4, depth=16, query_dim=512,

@@ -51,6 +51,22 @@ def main():
                         "(log_recon_interval parity)")
     p.add_argument("--synthetic", action="store_true",
                    help="random latents instead of images (perf/dev runs)")
+    p.add_argument("--latents-file", default=None,
+                   help="pre-encoded float32 .npy latents [N,h,w,16] "
+                        "(tools/gen_corpus.py --latents-out); skips the "
+                        "per-step VAE encode entirely")
+    p.add_argument("--metrics-out", default=None,
+                   help="append one JSON line per log interval (and per "
+                        "eval) — the convergence-campaign curve record")
+    p.add_argument("--eval-interval", type=int, default=0,
+                   help="every N steps, diffusion-decode a held-out batch "
+                        "(the LAST --eval-batch rows of --latents-file, "
+                        "excluded from training) and record latent-space "
+                        "recon MSE/SNR; also runs once at start for the "
+                        "step-0 baseline. Requires --latents-file")
+    p.add_argument("--eval-steps", type=int, default=25,
+                   help="Euler steps for the --eval-interval decode")
+    p.add_argument("--eval-batch", type=int, default=16)
     p.add_argument("--data-seed", type=int, default=None,
                    help="webdataset-parity shuffling for .tar corpora: "
                         "per-epoch global shard shuffle + sample shuffle "
@@ -146,7 +162,35 @@ def main():
     # stream by draining N batches WITHOUT running the on-device VAE encode
     # (a bare `next()` loop would replay the full encode work of the skipped
     # steps — hours of device time at real resume points)
-    if args.synthetic or not args.data_dir:
+    eval_lat = None
+    if args.latents_file:
+        lat_arr = np.load(args.latents_file, mmap_mode="r")
+        assert lat_arr.ndim == 4 and lat_arr.shape[-1] == 16, lat_arr.shape
+        n_eval = args.eval_batch if args.eval_interval else 0
+        n_train = lat_arr.shape[0] - n_eval
+        assert n_train >= args.batch_size, \
+            f"{n_train} training latents < batch {args.batch_size}"
+        if n_eval:
+            eval_lat = np.asarray(lat_arr[n_train:], np.float32)
+        hf_logger.info(f"latents: {lat_arr.shape} from {args.latents_file} "
+                       f"({n_train} train / {n_eval} held-out eval)")
+
+        def batches(skip=0):
+            B = args.batch_size
+            n = 0
+            while True:
+                order = (np.random.default_rng(
+                    (args.data_seed, passes[0])).permutation(n_train)
+                    if args.data_seed is not None else np.arange(n_train))
+                for i in range(0, n_train - B + 1, B):
+                    n += 1
+                    if n <= skip:
+                        continue
+                    # sorted gather: same batch membership, memmap-friendly
+                    yield np.asarray(lat_arr[np.sort(order[i:i + B])],
+                                     np.float32)
+                passes[0] += 1
+    elif args.synthetic or not args.data_dir:
         def batches(skip=0):
             rng = np.random.default_rng(0)
             n = 0
@@ -255,9 +299,58 @@ def main():
 
     assert start < args.steps, \
         f"--resume-from-steps {start} >= --steps {args.steps}: nothing to do"
+    assert not args.eval_interval or eval_lat is not None, \
+        "--eval-interval requires --latents-file"
     step_fn = jax.jit(lambda s, b, r: train_step(s, opt, tcfg, tc, b, r),
                       donate_argnums=(0,) if args.donate_state else ())
     meter = AverageMeter("loss")
+
+    metrics_f = open(args.metrics_out, "a") if args.metrics_out else None
+
+    def emit(rec):
+        if metrics_f is not None:
+            metrics_f.write(json.dumps(rec) + "\n")
+            metrics_f.flush()
+
+    eval_fn = None
+    if args.eval_interval:
+        from selftoktokenizer_tpu.models import flow as _flow
+        from selftoktokenizer_tpu.models.encoder import encoder_apply
+
+        sched = _flow.make_schedule(args.eval_steps, 1.0, "uniform")
+        step_k = _flow.precompute_step_k(tcfg.make_diti(), sched)
+        ekey = jax.random.fold_in(key, 424242)
+
+        @jax.jit
+        def eval_fn(params, x0):
+            """Held-out recon: encode -> quantized ids -> diffusion decode,
+            latent-space MSE and SNR (10·log10 var/mse; a model that emits
+            uncorrelated same-scale latents scores ≈ -3 dB, perfect recon
+            +inf — the VAE here is random-init so image PSNR would measure
+            the random decoder, not the tokenizer)."""
+            from selftoktokenizer_tpu.models.mmdit import mmdit_apply
+
+            ehs, _ = encoder_apply(params["encoder"], tcfg.encoder, x0)
+
+            def mfn(xx, tt, e, m):
+                return mmdit_apply(params["model"], tcfg.decoder, xx, tt, e,
+                                   mask=m, context_see_xt=tcfg.context_see_xt)
+
+            pred = _flow.p_sample_loop(
+                mfn, sched, jax.random.normal(ekey, x0.shape), ehs,
+                step_k=step_k, K=tcfg.k)
+            mse = jnp.mean((pred - x0) ** 2)
+            var = jnp.var(x0)
+            return mse, 10.0 * jnp.log10(var / mse)
+
+    def run_eval(at_step):
+        mse, snr = eval_fn(state.params, jnp.asarray(eval_lat))
+        rec = {"step": at_step, "eval_latent_mse": float(mse),
+               "eval_latent_snr_db": float(snr)}
+        hf_logger.info(f"eval @ {at_step}: latent mse={rec['eval_latent_mse']:.4f} "
+                       f"snr={rec['eval_latent_snr_db']:.2f} dB "
+                       f"({args.eval_steps}-step decode, B={len(eval_lat)})")
+        emit(rec)
 
     pending_losses = []
 
@@ -280,6 +373,8 @@ def main():
     batch_iter = with_epoch_flags(batches(skip=start))
     t0 = time.time()
     with jax.set_mesh(mesh):
+        if args.eval_interval and start == 0:
+            run_eval(0)   # the untrained baseline the curves start from
         for i in range(start, args.steps):
             nxt, epoch_done = next(batch_iter)
             batch = jax.device_put(jnp.asarray(nxt), batch_sharding(mesh))
@@ -298,7 +393,13 @@ def main():
                     f"dm_mse={float(logs['dm_mse']):.4f} "
                     f"perplexity={float(logs['vq_perplexity']):.1f} "
                     f"{sps:.2f} steps/s")
+                emit({"step": i + 1, "loss_avg": meter.avg,
+                      "steps_per_s": sps, "epoch": passes[0],
+                      **{k: float(v) for k, v in logs.items()
+                         if getattr(v, "ndim", 1) == 0}})
                 meter.reset()
+            if args.eval_interval and (i + 1) % args.eval_interval == 0:
+                run_eval(i + 1)
             hit_interval = args.ckpt_interval and \
                 (i + 1) % args.ckpt_interval == 0
             hit_epoch = args.save_per_epochs and epoch_done is not None \
