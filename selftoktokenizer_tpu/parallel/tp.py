@@ -20,8 +20,16 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-_COLUMN = {"qkv", "fc1"}     # weight [in, out]: shard out
-_ROW = {"proj", "fc2", "query_proj", "low_res_proj", "w2"}  # shard in
+# weight [in, out]: shard out-features. adaLN is column-safe: its output is
+# chunked into 6 modulation vectors along the SAME (sharded) feature axis,
+# and each chunk applies elementwise to hidden-sharded activations. The
+# t_embedder mlp0/mlp2 pair is a standard megatron column->row sandwich.
+# (to_query_kv deliberately NOT column-sharded: its K/V feed the query
+# stream's cross-attention concat, and GSPMD's resulting collective-permute
+# schedule deadlocks XLA's in-process CPU communicator — the 8-virtual-
+# device validation path. Its weights are tiny; it rides fsdp instead.)
+_COLUMN = {"qkv", "fc1", "adaLN", "mlp0", "query_linear"}
+_ROW = {"proj", "fc2", "query_proj", "low_res_proj", "w2", "mlp2"}  # shard in
 
 
 def _spec_for(path, leaf):
