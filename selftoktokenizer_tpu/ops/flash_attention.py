@@ -28,6 +28,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLOCK_Q = 128
+# sweep hook: forces the serving flash block_q when not None
+BLOCK_Q_OVERRIDE = None
 _NEG = -1e30
 
 
@@ -153,6 +155,11 @@ def flash_sdpa_key_mask(q, k, v, key_mask=None, interpret=False,
     (round-1 end-to-end +10% was measured there), 256 at >=2048 where the
     sweep (tools/bench_flash.py) shows ~3x over both bq128 and XLA SDPA
     (the 512px decode shape)."""
+    if block_q is None:
+        # sweep hook (tools/bench_decode512.py): module-level override of
+        # the length-adaptive default. Read at TRACE time — sweeps must
+        # clear the caller's jit cache between settings.
+        block_q = BLOCK_Q_OVERRIDE
     if block_q is None and q.shape[2] >= 2048 and q.shape[2] % 256 == 0:
         block_q = 256
     with_mask = key_mask is not None

@@ -201,3 +201,27 @@ def test_pipeline_int8_decode_smoke(tmp_path):
     # decode loop far more than trained ones — this only pins "same image,
     # bounded drift", the real deviation number comes from tools/bench_int8)
     assert np.abs(out8 - outf).mean() < 0.2
+
+
+def test_conv3ch_matches_xla_conv():
+    """conv_in stem kernel == lax.conv (fp32, interpret mode), both row
+    tilings; bf16 inputs within bf16 resolution."""
+    from selftoktokenizer_tpu.ops.conv3ch import conv3ch_3x3
+    from selftoktokenizer_tpu.ops.linear import conv2d
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 128)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(128), jnp.float32)
+    want = conv2d({"w": w, "b": b}, x)
+    for rows in (16, 32):
+        got = conv3ch_3x3(x, w, b, rows=rows, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    xb = x.astype(jnp.bfloat16)
+    got = conv3ch_3x3(xb, w, b, rows=16, interpret=True)
+    want_b = conv2d({"w": w, "b": b}, xb)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want_b, np.float32),
+                               rtol=0.04, atol=0.05)

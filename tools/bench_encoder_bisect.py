@@ -42,6 +42,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--prec", default="default")
     ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--k", type=int, default=512,
+                    help="query-token count (1024 = BASELINE workload-3 "
+                         "shape; VERDICT r3 weak #4 bisect)")
     args = ap.parse_args()
     jax.config.update("jax_default_matmul_precision", args.prec)
 
@@ -55,6 +58,11 @@ def main():
     from selftoktokenizer_tpu.pipeline import SelftokPipeline
 
     cfg = load_config("/root/reference/configs/res256/256-eval.yml")
+    if args.k != 512:
+        cfg.tokenizer.params["k"] = args.k
+        assert args.k == 1024, "only 512/1024 stage tables are defined"
+        cfg.tokenizer.params["k_per_stage"] = "384,368,144,96,32"
+        cfg.tokenizer.params["quantizer_config"]["K"] = args.k
     pipe = SelftokPipeline(cfg, datasize=256, encode_only=True)
     ecfg = pipe.tcfg.encoder
     p = pipe.params["encoder"]
