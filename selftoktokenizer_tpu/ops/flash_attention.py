@@ -57,6 +57,10 @@ def _flash_mha(q, k, v, maskf, interpret=False, block_q=None):
     B, H, Lq, D = q.shape
     Lk = k.shape[2]
     block_q = block_q or BLOCK_Q
+    # a non-dividing block would make the grid silently DROP the tail
+    # queries (round-4 finding: override sweeps measured fake speedups
+    # from truncated outputs) — refuse instead
+    assert Lq % block_q == 0, (Lq, block_q)
     scale = 1.0 / math.sqrt(D)
     with_mask = maskf is not None
     qf = q.reshape(B * H, Lq, D)
@@ -157,11 +161,22 @@ def flash_sdpa_key_mask(q, k, v, key_mask=None, interpret=False,
     (the 512px decode shape)."""
     if block_q is None:
         # sweep hook (tools/bench_decode512.py): module-level override of
-        # the length-adaptive default. Read at TRACE time — sweeps must
-        # clear the caller's jit cache between settings.
-        block_q = BLOCK_Q_OVERRIDE
-    if block_q is None and q.shape[2] >= 2048 and q.shape[2] % 256 == 0:
-        block_q = 256
+        # the length-adaptive default — an int, or a {Lq: block_q} dict so
+        # bucketed-decode sweeps can vary ONE segment length at a time.
+        # Read at TRACE time — sweeps must clear the caller's jit cache.
+        ov = BLOCK_Q_OVERRIDE
+        block_q = ov.get(q.shape[2]) if isinstance(ov, dict) else ov
+    if block_q is None and q.shape[2] >= 2048:
+        # long-joint-length tiling (the 512px decode, bucketed Lq 4224-4608):
+        # the round-4 per-segment e2e sweep (tools/bench_decode512.py, with
+        # the truncation assert below in place) measured the choice FLAT —
+        # 0.9802-0.9808 img/s across bq 128/256/384/512/576 on the dominant
+        # 4608 segment — so pick the largest divisor whose fp32 score tile
+        # stays well inside VMEM (576 x 4608 x 4B = 10.6 MB)
+        for cand in (576, 512, 384, 256):
+            if q.shape[2] % cand == 0:
+                block_q = cand
+                break
     with_mask = key_mask is not None
     maskf = ((~key_mask).astype(jnp.float32)[:, None, :] if with_mask
              else jnp.zeros((1, 1, 1), jnp.float32))

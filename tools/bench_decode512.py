@@ -2,10 +2,15 @@
 attention-form choice at the 4608-token joint length — the one perf row
 that never had a targeted pass (round 3 only swept batch).
 
-Variants, all timed END-TO-END on the real decode (B=2, 50 Euler steps):
-* flash with block_q in {128, 256, 384, 512} (4608-divisible),
-* bf16-score XLA sdpa (SERVING_ATTN_CROSSOVER raised above 4608),
-* fp32-softmax XLA sdpa (serving_attention off) as the numerics anchor.
+The 512px decode is context-BUCKETED (pipeline._decode_segments): 29/50
+steps run the joint attention at Lq=4608, 8 at 4480, 7 at 4352, 6 at 4224.
+A uniform block_q therefore CANNOT be swept naively: lengths it does not
+divide would silently truncate the grid (now an assert in _flash_mha —
+the first version of this tool measured exactly that artifact). The sweep
+varies the DOMINANT 4608 segment via the {Lq: block_q} dict override,
+leaving other segments on their per-length defaults, and cross-checks
+output equality against the first variant. Also timed: bf16-score XLA
+sdpa (crossover raised above 4608) and fp32-softmax flash as anchors.
 
 Module-global sweep hooks are read at trace time, so the pipeline's decode
 jit cache is cleared between settings.
@@ -56,14 +61,14 @@ def main():
         (getattr(f, "clear_cache", None) or f._clear_cache)()
 
     results = {}
-    for bq in (128, 256, 384, 512):
-        fa.BLOCK_Q_OVERRIDE = bq
+    for bq in (128, 256, 384, 512, 576):
+        fa.BLOCK_Q_OVERRIDE = {4608: bq}
         reset()
         try:
-            results[f"flash_bq{bq}"] = rate()
+            results[f"flash_4608_bq{bq}"] = rate()
         except Exception as e:
-            results[f"flash_bq{bq}"] = f"error: {type(e).__name__}"
-        print(f"flash bq={bq}: {results[f'flash_bq{bq}']}")
+            results[f"flash_4608_bq{bq}"] = f"error: {type(e).__name__}"
+        print(f"flash 4608->bq{bq}: {results[f'flash_4608_bq{bq}']}")
     fa.BLOCK_Q_OVERRIDE = None
 
     old_xover = attn_mod.SERVING_ATTN_CROSSOVER
