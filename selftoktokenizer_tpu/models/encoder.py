@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from selftoktokenizer_tpu.core import convert as cv
+from selftoktokenizer_tpu.ops import flash_attention as fa_mod
 from selftoktokenizer_tpu.ops.attention import sdpa
 from selftoktokenizer_tpu.ops.linear import (
     gate, linear, linear_init, mlp, mlp_init, modulate, patch_embed,
@@ -218,6 +219,14 @@ def dual_attention_apply(p, cfg: EncoderConfig, x, query, mask=None, x_mask=None
             # Pallas flash kernel at 512px (4608 keys, 3.3x over bf16-sdpa)
             q_out = serving_attention(qq, k2, v2)
         else:
+            # (round-4 negative result: a fp32-HIGHEST flash variant for
+            # the K=1024 query stream — score softmax resident in VMEM
+            # instead of the XLA form's 1.3 GB/block HBM spill — produced
+            # IDENTICAL ids (0/32768 flips) but measured SLOWER e2e,
+            # 96.8 vs 102.3 img/s: the kernel's 6-pass exact-fp32
+            # matmuls at per-head D=64 under-fill the MXU worse than the
+            # spill costs. The XLA form stays; the kernel keeps its
+            # `precision=` option for future shapes.)
             q_out = sdpa(qq, k2, v2, mask=mask)
 
     x_out = linear(p["proj"], _merge_heads(x_out))

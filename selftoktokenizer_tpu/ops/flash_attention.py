@@ -33,12 +33,21 @@ BLOCK_Q_OVERRIDE = None
 _NEG = -1e30
 
 
-def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, with_mask):
+def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, with_mask,
+            precision):
     q = q_ref[0]                       # [BLOCK_Q, D]
     k = k_ref[0]                       # [Lk, D]
     v = v_ref[0]                       # [Lk, D]
+    # precision is pinned EXPLICITLY, never inherited from the ambient
+    # jax.default_matmul_precision context: a traced
+    # contract_precision=fp32 on bf16 vectors is rejected by Mosaic
+    # ("Bad lhs type", found round 4). DEFAULT = the bf16 serving
+    # contract (single-pass multiply, fp32 accumulation); HIGHEST = the
+    # fp32 conformance-tier variant (6-pass exact-fp32 MXU matmuls, used
+    # by the K=1024 encoder where the XLA form spills 1.3 GB of scores).
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
+        precision=precision,
         preferred_element_type=jnp.float32) * scale       # [BLOCK_Q, Lk]
     if with_mask:
         m = mask_ref[0]                # [1, Lk] float32 (0 keep / 1 drop)
@@ -47,11 +56,14 @@ def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, with_mask):
     e = jnp.exp(s)
     w = e / jnp.sum(e, axis=-1, keepdims=True)
     o_ref[0] = jnp.dot(w.astype(v.dtype), v,
+                       precision=precision,
                        preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "block_q"))
-def _flash_mha(q, k, v, maskf, interpret=False, block_q=None):
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "block_q", "precision"))
+def _flash_mha(q, k, v, maskf, interpret=False, block_q=None,
+               precision=jax.lax.Precision.DEFAULT):
     """q: [B,H,Lq,D], k/v: [B,H,Lk,D], maskf: [B,1,Lk] float (0 keep/1 drop)
     or None."""
     B, H, Lq, D = q.shape
@@ -88,7 +100,8 @@ def _flash_mha(q, k, v, maskf, interpret=False, block_q=None):
         args.append(jnp.zeros((1, 1, 1), jnp.float32))
 
     out = pl.pallas_call(
-        functools.partial(_kernel, scale=scale, with_mask=with_mask),
+        functools.partial(_kernel, scale=scale, with_mask=with_mask,
+                          precision=precision),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
@@ -113,7 +126,8 @@ def supported(q, k, block_q=None):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_flash_vjp(with_mask, interpret, block_q):
+def _make_flash_vjp(with_mask, interpret, block_q,
+                    precision=jax.lax.Precision.DEFAULT):
     """Differentiable flash attention: Pallas forward, XLA-recompute
     backward (the standard pattern — the forward never materializes the
     [B,H,Lq,Lk] score matrix; the backward rebuilds it once in fp32, which
@@ -124,7 +138,8 @@ def _make_flash_vjp(with_mask, interpret, block_q):
     @jax.custom_vjp
     def f(q, k, v, maskf):
         return _flash_mha(q, k, v, maskf if with_mask else None,
-                          interpret=interpret, block_q=block_q)
+                          interpret=interpret, block_q=block_q,
+                          precision=precision)
 
     def fwd(q, k, v, maskf):
         return f(q, k, v, maskf), (q, k, v, maskf)
@@ -151,14 +166,15 @@ def _make_flash_vjp(with_mask, interpret, block_q):
 
 
 def flash_sdpa_key_mask(q, k, v, key_mask=None, interpret=False,
-                        block_q=None):
+                        block_q=None,
+                        precision=jax.lax.Precision.DEFAULT):
     """SDPA with optional per-key mask [B, Lk] (True = attend).
     Differentiable (custom VJP) — usable in jitted train steps.
 
     block_q default is length-adaptive: 128 at decode-256px lengths
-    (round-1 end-to-end +10% was measured there), 256 at >=2048 where the
-    sweep (tools/bench_flash.py) shows ~3x over both bq128 and XLA SDPA
-    (the 512px decode shape)."""
+    (round-1 end-to-end +10% was measured there); at >=2048 (the 512px
+    decode buckets) the round-4 e2e per-segment sweep measured the choice
+    flat, so the largest VMEM-safe divisor is taken."""
     if block_q is None:
         # sweep hook (tools/bench_decode512.py): module-level override of
         # the length-adaptive default — an int, or a {Lq: block_q} dict so
@@ -180,5 +196,5 @@ def flash_sdpa_key_mask(q, k, v, key_mask=None, interpret=False,
     with_mask = key_mask is not None
     maskf = ((~key_mask).astype(jnp.float32)[:, None, :] if with_mask
              else jnp.zeros((1, 1, 1), jnp.float32))
-    fn = _make_flash_vjp(with_mask, interpret, block_q)
+    fn = _make_flash_vjp(with_mask, interpret, block_q, precision)
     return fn(q, k, v, maskf)

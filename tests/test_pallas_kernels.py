@@ -225,3 +225,21 @@ def test_conv3ch_matches_xla_conv():
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want_b, np.float32),
                                rtol=0.04, atol=0.05)
+
+
+def test_flash_fp32_highest_matches_sdpa():
+    """fp32 flash variant (used by the K=1024 HIGHEST encoder) == XLA sdpa
+    at fp32, tight tolerance — same per-row softmax over the full key
+    length, exact-fp32 matmuls."""
+    from selftoktokenizer_tpu.ops.attention import sdpa
+    from selftoktokenizer_tpu.ops.flash_attention import flash_sdpa_key_mask
+
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((2, 4, 256, 64)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((2, 4, 384, 64)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, 4, 384, 64)), jnp.float32)
+    want = sdpa(q, k, v)
+    got = flash_sdpa_key_mask(q, k, v, interpret=True,
+                              precision=jax.lax.Precision.HIGHEST)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-6, atol=2e-6)
