@@ -247,6 +247,32 @@ def renderer_loss(params, cfg: TokenizerConfig, x, rng=None):
     return ids, ori_hidden, pred_x0
 
 
+def renderer_train_loss(model_params, encoder_params, cfg: TokenizerConfig,
+                        x):
+    """Trainer loss for the one-step renderer — the loss the reference's
+    renderer configs describe but never shipped (ImageRenderer.forward
+    returns pred_x0 and a ``recon_ratio`` knob, image_renderer.py:91,
+    143-162; the renderer checkpoint trains against a FROZEN pretrained
+    tokenizer, renderer-eval.yml pretrain_model / train_filter surface).
+
+    encoder_params are stop-gradiented: tokens come from the frozen
+    tokenizer; only the renderer MMDiT learns. Returns (loss, log_dict).
+    """
+    B = x.shape[0]
+    d = jnp.full((B,), cfg.k - 1, jnp.int32)
+    enc = jax.lax.stop_gradient(encoder_params)
+    ehs, _, _, mask, _, _, ids = encoder_apply(enc, cfg.encoder, x, d=d)
+    ehs = jax.lax.stop_gradient(ehs)
+    pred_x0 = renderer_apply(model_params, cfg.decoder, ehs, mask=mask)
+    loss = jnp.mean((pred_x0 - x) ** 2)
+    # lifetime code-usage perplexity of the frozen tokenizer on this batch
+    # (sanity signal: the renderer should see a live token distribution)
+    counts = jnp.bincount(ids.reshape(-1), length=cfg.encoder.codebook_size)
+    p = counts / jnp.maximum(jnp.sum(counts), 1)
+    ppl = jnp.exp(-jnp.sum(p * jnp.log(p + 1e-10)))
+    return loss, {"loss": loss, "recon_mse": loss, "batch_perplexity": ppl}
+
+
 # ---------------------------------------------------------------------------
 # MultiImageTokenizer (multires_image_tokenizer.py:43-216)
 # ---------------------------------------------------------------------------

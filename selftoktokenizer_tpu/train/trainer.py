@@ -149,6 +149,64 @@ def restore_train_state(path, like: TokenizerTrainState,
     )
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class RendererTrainState:
+    """Renderer fine-tune state: ONLY the renderer MMDiT params train; the
+    tokenizer (encoder+VQ) is frozen and travels outside the state (the
+    reference's pretrain_model + train_filter surface,
+    renderer-eval.yml)."""
+    params: Any                      # renderer model subtree
+    opt_state: Any
+    ema_params: Optional[Any]
+    step: jnp.ndarray
+
+    def tree_flatten(self):
+        return ((self.params, self.opt_state, self.ema_params, self.step),
+                None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def make_renderer_train_state(model_params, tc: TrainConfig):
+    opt = optax.adamw(_lr_schedule(tc.dit_lr, tc), b1=tc.b1, b2=tc.b2,
+                      weight_decay=tc.weight_decay)
+    if tc.grad_norm > 0:
+        opt = optax.chain(optax.clip_by_global_norm(tc.grad_norm), opt)
+    ema = (jax.tree_util.tree_map(jnp.copy, model_params)
+           if tc.ema_decay > 0 else None)
+    return RendererTrainState(
+        params=model_params, opt_state=opt.init(model_params),
+        ema_params=ema, step=jnp.zeros((), jnp.int32)), opt
+
+
+def renderer_train_step(state: RendererTrainState, opt,
+                        tcfg: TokenizerConfig, tc: TrainConfig,
+                        encoder_params, batch):
+    """One renderer optimizer step over frozen-tokenizer tokens. batch:
+    NHWC latents (sharded on the data axis under jit)."""
+    from selftoktokenizer_tpu.models.tokenizer import renderer_train_loss
+
+    def loss_fn(mp):
+        return renderer_train_loss(mp, encoder_params, tcfg, batch)
+
+    (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params)
+    updates, new_opt = opt.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    ema = state.ema_params
+    if ema is not None:
+        d = tc.ema_decay
+        ema = jax.tree_util.tree_map(lambda e, p: d * e + (1 - d) * p,
+                                     ema, new_params)
+    logs = dict(logs)
+    logs["grad_norm"] = optax.global_norm(grads)
+    return RendererTrainState(params=new_params, opt_state=new_opt,
+                              ema_params=ema, step=state.step + 1), logs
+
+
 def train_step(state: TokenizerTrainState, opt, tcfg: TokenizerConfig,
                tc: TrainConfig, batch, rng):
     """One optimizer step. batch: NHWC latents [B,h,w,C] (global batch,

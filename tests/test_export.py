@@ -44,7 +44,7 @@ if "MMDiT-Tiny-Test" not in zoo.DIT_MODELS:
 DEPTH = PARAMS["decoder_config"]["depth"]
 
 
-def _benign_missing(k):
+def _benign_missing(k, renderer=False):
     """Keys absent from an export that the reference never reads back:
     * diffusion.* — RectifiedFlow schedule buffers, reconstructed from config
       (SelftokPipeline builds a fresh eval RectifiedFlow, :201-204);
@@ -54,6 +54,9 @@ def _benign_missing(k):
       only (reference mmdit.py DismantledBlock, pre_only branch)."""
     return (k.startswith("diffusion.")
             or k == "encoder.quantizer.continuous"
+            # renderer trunk registers the base MMDiT pos_embed table but
+            # its forward uses positional_embedding only (mmdit.py:1522)
+            or (renderer and k == "model.pos_embed")
             or k.startswith(
                 f"model.joint_blocks.{DEPTH - 1}.context_block.t_embedder."))
 
@@ -138,3 +141,44 @@ def test_export_loads_into_reference_and_matches():
                             context_see_xt=True)
     np.testing.assert_allclose(np.asarray(jax_v).transpose(0, 3, 1, 2),
                                ref_v.numpy(), rtol=2e-4, atol=2e-5)
+
+
+def test_renderer_roundtrip_bitexact():
+    """Renderer-variant exporter: reference ImageRenderer state dict ->
+    params -> export reproduces every tensor (mask_token/positional
+    embedding branch of mmdit_to_state_dict)."""
+    ref, _ = _build_ref_tokenizer()   # installs zoo stubs + dist shim
+
+    def _tiny_renderer(**kw):
+        ehs = kw["encoder_hidden_size"]
+        return ref.mmdit.MMDiT_Renderer(
+            pos_embed_scaling_factor=None, pos_embed_offset=None,
+            patch_size=2, adm_in_channels=ehs,
+            context_embedder_config={
+                "target": "torch.nn.Linear",
+                "params": {"in_features": ehs,
+                           "out_features": 64 * kw["depth"]}},
+            device="cpu", dtype=torch.float, use_checkpoint=True, **kw)
+
+    ref.model_zoo.DiT_models["MMDiT-Tiny-Test-Renderer"] = _tiny_renderer
+    if "MMDiT-Tiny-Test-Renderer" not in zoo.DIT_MODELS:
+        zoo.DIT_MODELS.append("MMDiT-Tiny-Test-Renderer")
+    rp = copy.deepcopy(PARAMS)
+    rp["model"] = "MMDiT-Tiny-Test-Renderer"
+    rp["decoder_config"]["repeat"] = True
+    rtok = ref.image_renderer.ImageRenderer(**copy.deepcopy(rp))
+    sd = _np_sd(rtok)
+    cfg = tokenizer_config_from_params(copy.deepcopy(rp))
+    assert cfg.decoder.renderer
+    params = tokenizer_from_state_dict(sd, cfg)
+    out = tokenizer_to_state_dict(params, cfg, vq_state=_vq_state_from(sd))
+    assert sorted(set(out) - set(sd)) == []
+    not_benign = [k for k in set(sd) - set(out)
+                  if not _benign_missing(k, renderer=True)]
+    assert not_benign == [], not_benign
+    for k, v in out.items():
+        if k in APPROXIMATED:
+            continue
+        np.testing.assert_array_equal(
+            np.asarray(v, np.float32), np.asarray(sd[k], np.float32),
+            err_msg=k)
