@@ -70,9 +70,14 @@ def main():
         sd = load_torch_checkpoint(args.tokenizer_ckpt)
         enc_params = encoder_from_state_dict(
             cv.strip_prefix(sd, "encoder."), tcfg.encoder)
+        vq_state = None
     else:
         raw = restore_checkpoint(args.tokenizer_ckpt)
         enc_params = raw["params"]["encoder"]
+        # carry the tokenizer's VQ EMA buffers through to renderer
+        # checkpoints: the export path then emits a COMPLETE reference
+        # state dict (strict-load clean) instead of embed-only
+        vq_state = raw.get("vq_state")
     enc_params = jax.tree_util.tree_map(jnp.asarray, enc_params)
     hf_logger.info(f"frozen tokenizer from {args.tokenizer_ckpt}")
 
@@ -136,11 +141,13 @@ def main():
                 if args.eval_interval and i % args.eval_interval == 0:
                     run_eval(i)
                 if args.ckpt_interval and i % args.ckpt_interval == 0:
+                    tree = {"params": {"encoder": enc_params,
+                                       "model": state.params},
+                            "step": state.step}
+                    if vq_state is not None:
+                        tree["vq_state"] = dict(vq_state)
                     save_checkpoint(
-                        os.path.join(args.ckpt_dir, f"step_{i}"),
-                        {"params": {"encoder": enc_params,
-                                    "model": state.params},
-                         "step": state.step})
+                        os.path.join(args.ckpt_dir, f"step_{i}"), tree)
             epoch += 1
     print(json.dumps({"final_recon_mse": float(logs["recon_mse"]),
                       "steps": args.steps}))
