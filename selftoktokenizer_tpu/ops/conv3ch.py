@@ -9,12 +9,19 @@ pays full im2col traffic. This kernel reads the input ONCE into VMEM,
 builds the 27-tap patch tensor in-register per tile (no HBM im2col), runs
 one [R*W, 32] x [32, C] matmul (zero-padded 27->32 lanes; 25% MXU
 engagement is the shape's physical cap), and streams the [R, W, C] tile
-out — the kernel is output-bandwidth-bound by construction
-(~0.54 GB in / out at B=32, 256px vs 14.5 GFLOP).
+out — output-bandwidth-bound by construction (~0.54 GB in/out at B=32,
+256px vs 14.5 GFLOP).
 
-Used only for stride-1 SAME 3x3 convs with C_in=3 (the VAE stem); the
-deep-net convs stay on XLA, which already runs them at 80-92% of peak
-(ledger item 7, "VAE is conv-roofline-bound").
+STATUS (round-4 race, docs/ARCHITECTURE.md "Round-4 ledger" item 1):
+NOT wired into the VAE — kept as the negative-result record. Today's
+Mosaic cannot compile the in-kernel patch build (any jnp.concatenate of
+3-lane slices crashes the compiler; minimized probes in the ledger), and
+every compilable variant (Pallas matmul over host-packed patches, across
+six tilings) measured SLOWER than XLA's conv, whose 537 MB output stream
+already runs at the effective store bandwidth these shapes get. The
+kernel is value-exact vs lax.conv in interpret mode
+(tests/test_pallas_kernels.py) and becomes worth re-racing if Mosaic
+gains narrow-lane concats.
 """
 
 from __future__ import annotations
