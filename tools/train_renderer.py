@@ -111,6 +111,7 @@ def main():
         hf_logger.info(f"eval @ {at}: held-out recon mse={mse:.4f}")
         emit({"step": at, "eval_recon_mse": mse})
 
+    assert args.steps > 0
     B = args.batch_size
     t0 = time.time()
     with jax.set_mesh(mesh):
