@@ -125,6 +125,22 @@ def tokenizer_from_state_dict(sd, cfg: TokenizerConfig):
     }
 
 
+def pre_vq_outs(params, cfg: TokenizerConfig, x):
+    """Encoder trunk forward up to the quantizer input — shared by
+    tokenizer_loss and the accumulation step's gradient-free global pass
+    (train/trainer.py train_step_accum), so both see identical features.
+    Returns (outs [B,K,hidden], x_emb)."""
+    from selftoktokenizer_tpu.models.encoder import (_embed_patches,
+                                                     get_encoder_outs)
+    from selftoktokenizer_tpu.ops.norms import layer_norm
+
+    x_emb = _embed_patches(params["encoder"], cfg.encoder, x)
+    outs = get_encoder_outs(params["encoder"], cfg.encoder, x_emb)
+    if cfg.encoder.pre_norm:
+        outs = layer_norm(outs, **params["encoder"]["final_layer_norm"])
+    return outs, x_emb
+
+
 def resolution_shift(latent_h, latent_w):
     """Resolution-dependent flow shift (image_tokenizer.py:208-213):
     1.0 below 2048 latent pixels, 1.878 at/above."""
@@ -133,7 +149,8 @@ def resolution_shift(latent_h, latent_w):
 
 def tokenizer_loss(params, cfg: TokenizerConfig, x, rng, vq_state=None,
                    full_tokens=False, train_quantizer=True,
-                   ema_encoder_params=None, L2_lr=0.0, t=None, noise=None):
+                   ema_encoder_params=None, L2_lr=0.0, t=None, noise=None,
+                   drop_ids=None, vq_injected=None):
     """Training forward (image_tokenizer.py:203-296): sample t, map to token
     depth k, encode+quantize, flow-matching loss with CFG condition drop.
 
@@ -143,6 +160,11 @@ def tokenizer_loss(params, cfg: TokenizerConfig, x, rng, vq_state=None,
     x-shaped gaussian) replacing the rng draws — for deterministic
     debugging and the golden comparison against the reference forward
     (which draws them with torch rng, image_tokenizer.py:216, 261).
+    drop_ids: optional pre-sampled CFG drop mask [B] bool (accumulation mode
+    slices one global draw per microbatch).
+    vq_injected: microbatch-accumulation mode — bypass the quantizer with
+    frozen global-step quantities (vq.vq_microbatch_surrogate); the VQ EMA
+    state does not advance here (the accumulation step applies it once).
     """
     B, h, w, _ = x.shape
     shift = resolution_shift(h, w)
@@ -160,15 +182,16 @@ def tokenizer_loss(params, cfg: TokenizerConfig, x, rng, vq_state=None,
     t = flow_mod.shift_t(t, shift)
 
     # encoder trunk (training=True threads the EMA quantizer state)
-    from selftoktokenizer_tpu.models.encoder import (
-        _embed_patches, get_encoder_outs, get_encoder_mask)
+    from selftoktokenizer_tpu.models.encoder import get_encoder_mask
     from selftoktokenizer_tpu.ops.norms import layer_norm
 
-    x_emb = _embed_patches(params["encoder"], cfg.encoder, x)
-    outs = get_encoder_outs(params["encoder"], cfg.encoder, x_emb)
-    if cfg.encoder.pre_norm:
-        outs = layer_norm(outs, **params["encoder"]["final_layer_norm"])
-    if train_quantizer and vq_state is not None:
+    outs, x_emb = pre_vq_outs(params, cfg, x)
+    if vq_injected is not None:
+        outs_q, quan_loss, vq_logs = vq_mod.vq_microbatch_surrogate(
+            params["encoder"]["quantizer"], outs, vq_injected, cfg.quantizer)
+        ids = vq_injected["ids"]
+        new_vq_state = vq_state
+    elif train_quantizer and vq_state is not None:
         outs_q, ids, quan_loss, new_vq_state, vq_logs = vq_mod.vq_train_apply(
             params["encoder"]["quantizer"], vq_state, outs, cfg.quantizer,
             rng=r_react)
@@ -187,7 +210,8 @@ def tokenizer_loss(params, cfg: TokenizerConfig, x, rng, vq_state=None,
 
     # CFG condition drop (mmdit.py:935-963) — rng-driven here, not module-state
     drop_p = cfg.decoder.class_dropout_prob
-    drop_ids = (jax.random.uniform(r_drop, (B,)) < drop_p) if drop_p > 0 else None
+    if drop_ids is None and drop_p > 0:
+        drop_ids = jax.random.uniform(r_drop, (B,)) < drop_p
 
     if noise is None:
         noise = jax.random.normal(r_noise, x.shape, x.dtype)

@@ -203,7 +203,37 @@ def _ema_entropy_from_ap(ap, onehot_ema, ratio_d, groups=64):
     return ent1, ent2
 
 
-def vq_train_apply(p, state: VQState, x, cfg, rng=None, gumbel_noise=None):
+def _diversity_from_apk(ap_k, new_tpc, cfg):
+    """Diversity loss as a pure function of the batch-mean softmax ``ap_k``
+    [K, C] (everything else — new_tpc, the gate weight — carries no gradient).
+    Factored out so the microbatch-accumulation mode can linearize it:
+    d(diversity)/d(ap_k) at the *global* ap_k is the exact per-token gradient
+    coefficient (ap_k is a batch mean, so each microbatch's contribution is
+    linear in its own pr rows). Returns (diversity, perplexity,
+    diversity_entropy)."""
+    C = ap_k.shape[-1]
+    if cfg.get("smart_react", True):
+        # the reference reads timestep_p_over_c AFTER the codebook forward
+        # updated it (vector_quantize_pytorch.py:571-578 then :1014-1025)
+        cb_ent, grp_ent = _ema_entropy_from_ap(
+            ap_k, new_tpc, ratio_d=1.0 - cfg.get("ema_entropy_ratio", 0.7))
+        entropy = 0.5 * (cb_ent + grp_ent)
+        group_perp = jnp.mean(jnp.exp(
+            -jnp.sum(new_tpc * jnp.log(new_tpc + 1e-10), axis=-1)))
+        frac = group_perp / C
+        reg = cfg.get("reg", [0.25, 0.5])
+        wgt = jnp.where(frac < reg[0], 0.5,
+                        jnp.maximum(0.5 - 0.5 / (reg[1] - reg[0]) * (frac - reg[0]), 0.0))
+        diversity = -cfg.get("w_diversity", 1.0) * wgt * entropy
+        return diversity, group_perp, cb_ent
+    ap = jnp.mean(ap_k, axis=0)                                   # [C]
+    entropy_to_max = -jnp.sum(ap * jnp.log(ap))
+    diversity = -cfg.get("w_diversity", 1.0) * entropy_to_max
+    return diversity, jnp.exp(entropy_to_max), entropy_to_max
+
+
+def vq_train_apply(p, state: VQState, x, cfg, rng=None, gumbel_noise=None,
+                   return_extras=False):
     """Training forward + EMA codebook update.
 
     cfg: dict-like with decay, commitment_weight (w_commit), diversity_weight
@@ -244,7 +274,12 @@ def vq_train_apply(p, state: VQState, x, cfg, rng=None, gumbel_noise=None):
     flat = z.reshape(1, B * K, -1)
 
     if not cfg.get("continuous", False):
-        return _vq_quantize_body(p, state, z, flat, x, cfg, rng, gumbel_noise)
+        return _vq_quantize_body(p, state, z, flat, x, cfg, rng, gumbel_noise,
+                                 return_extras=return_extras)
+    if return_extras:
+        raise ValueError("return_extras is incompatible with continuous "
+                         "warmup (the accumulation mode asserts "
+                         "continuous=False)")
 
     if rng is None:
         raise ValueError("continuous warmup requires an rng")
@@ -277,8 +312,16 @@ def vq_train_apply(p, state: VQState, x, cfg, rng=None, gumbel_noise=None):
     return jax.lax.cond(state.steps < warm_steps, _warm, _main, None)
 
 
-def _vq_quantize_body(p, state: VQState, z, flat, x, cfg, rng, gumbel_noise):
-    """The quantized (non-warmup) training forward; see `vq_train_apply`."""
+def _vq_quantize_body(p, state: VQState, z, flat, x, cfg, rng, gumbel_noise,
+                      return_extras=False):
+    """The quantized (non-warmup) training forward; see `vq_train_apply`.
+
+    return_extras: additionally return a 6th element
+    {"embed_used": the pre-update codebook the forward quantized against
+    (post-kmeans on the init step), "g_ap": d(diversity)/d(ap_k) at this
+    batch's ap_k} — the linearization coefficients the microbatch-
+    accumulation trainer (train/trainer.py train_step_accum) replays the
+    diversity gradient with."""
     decay = cfg.get("decay", 0.99)
     B, K, _ = x.shape
     C = p["embed"].shape[0]
@@ -403,30 +446,10 @@ def _vq_quantize_body(p, state: VQState, z, flat, x, cfg, rng, gumbel_noise):
     lse = jax.nn.logsumexp(scaled, axis=-1)                       # [B, K]
     pr = jnp.exp(scaled - lse[..., None])
     ap_k = jnp.mean(pr, axis=0)                                   # [K, C]
-    ap = jnp.mean(ap_k, axis=0)                                   # [C]
-    entropy_to_max = -jnp.sum(ap * jnp.log(ap))
     entropy_to_min = jnp.mean(lse - jnp.sum(pr * scaled, axis=-1))
-    loss = cfg.get("w_commit", 1.0) * commit
-    if cfg.get("smart_react", True):
-        # the reference reads timestep_p_over_c AFTER the codebook forward
-        # updated it (vector_quantize_pytorch.py:571-578 then :1014-1025)
-        cb_ent, grp_ent = _ema_entropy_from_ap(
-            ap_k, new_tpc, ratio_d=1.0 - cfg.get("ema_entropy_ratio", 0.7))
-        entropy = 0.5 * (cb_ent + grp_ent)
-        group_perp = jnp.mean(jnp.exp(
-            -jnp.sum(new_tpc * jnp.log(new_tpc + 1e-10), axis=-1)))
-        frac = group_perp / C
-        reg = cfg.get("reg", [0.25, 0.5])
-        wgt = jnp.where(frac < reg[0], 0.5,
-                        jnp.maximum(0.5 - 0.5 / (reg[1] - reg[0]) * (frac - reg[0]), 0.0))
-        diversity = -cfg.get("w_diversity", 1.0) * wgt * entropy
-        perplexity = group_perp
-        diversity_entropy = cb_ent
-    else:
-        diversity = -cfg.get("w_diversity", 1.0) * entropy_to_max
-        perplexity = jnp.exp(entropy_to_max)
-        diversity_entropy = entropy_to_max
-    loss = loss + diversity
+    diversity, perplexity, diversity_entropy = _diversity_from_apk(
+        ap_k, new_tpc, cfg)
+    loss = cfg.get("w_commit", 1.0) * commit + diversity
 
     # straight-through
     quant_st = z + jax.lax.stop_gradient(quantize - z)
@@ -452,7 +475,50 @@ def _vq_quantize_body(p, state: VQState, z, flat, x, cfg, rng, gumbel_noise):
         "cosine_sim": jnp.mean(jnp.einsum("bkd,bkd->bk",
                                           quantize, jax.lax.stop_gradient(z))),
     }
+    if return_extras:
+        g_ap = jax.grad(lambda a: _diversity_from_apk(a, new_tpc, cfg)[0])(
+            jax.lax.stop_gradient(ap_k))
+        extras = {"embed_used": embed, "g_ap": g_ap}
+        return quant_out, ids.reshape(B, K), loss, new_state, log_dict, extras
     return quant_out, ids.reshape(B, K), loss, new_state, log_dict
+
+
+def vq_microbatch_surrogate(p, x, inj, cfg):
+    """Microbatch training forward against FROZEN global-step quantities —
+    the per-microbatch half of the accumulation mode (train_step_accum).
+
+    inj: {"ids": [B_m, K] code assignments from the global phase-A pass,
+          "embed_used": [C, D] the pre-update codebook phase A quantized
+          against, "g_ap": [K, C] d(diversity)/d(ap_k) at the GLOBAL ap_k}.
+
+    Emulates this microbatch's share of the global-batch loss gradient
+    exactly: commit is an element mean (means of equal microbatches average
+    to the global mean); the diversity term is linear in each microbatch's
+    batch-mean softmax, so sum(stop_grad(g_ap) * ap_k_mb) reproduces the
+    global gradient under microbatch averaging. Returns
+    (quant_out, quan_loss_mb, log_dict).
+    """
+    B, K, _ = x.shape
+    z = l2norm(project_in(p, x).astype(jnp.float32))
+    embed = jax.lax.stop_gradient(inj["embed_used"])
+    quantize = embed[inj["ids"]]                                  # [B, K, D]
+    commit = jnp.sum((jax.lax.stop_gradient(quantize) - z) ** 2) / z.size
+    dist = jnp.einsum("bkd,cd->bkc", z, embed,
+                      precision=jax.lax.Precision.HIGHEST)
+    scaled = dist * 10.0
+    lse = jax.nn.logsumexp(scaled, axis=-1)
+    pr = jnp.exp(scaled - lse[..., None])
+    ap_k_mb = jnp.mean(pr, axis=0)                                # [K, C]
+    surr = jnp.sum(jax.lax.stop_gradient(inj["g_ap"]) * ap_k_mb)
+    loss = cfg.get("w_commit", 1.0) * commit + surr
+    quant_st = z + jax.lax.stop_gradient(quantize - z)
+    quant_out = project_out(p, quant_st)
+    log_dict = {
+        "commit_loss": commit,
+        "cosine_sim": jnp.mean(jnp.einsum(
+            "bkd,bkd->bk", quantize, jax.lax.stop_gradient(z))),
+    }
+    return quant_out, loss, log_dict
 
 
 def kmeans_cosine(rng, samples, num_clusters, num_iters=10):

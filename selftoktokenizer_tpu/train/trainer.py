@@ -38,6 +38,13 @@ class TrainConfig:
     ema_decay: float = 0.0          # 0 = no EMA copy
     b1: float = 0.9
     b2: float = 0.999
+    # decay schedule per LR group (the reference's config surface implies
+    # schedules beyond warmup-then-constant, 256-eval.yml:31-46):
+    # 'constant' (default — warmup then flat), 'cosine', 'linear'; decay
+    # modes run from the post-warmup peak to end_lr_ratio * base_lr at
+    # max_steps and hold the floor after.
+    schedule: str = "constant"
+    end_lr_ratio: float = 0.1
 
 
 @jax.tree_util.register_pytree_node_class
@@ -59,10 +66,25 @@ class TokenizerTrainState:
 
 
 def _lr_schedule(base_lr, tc: TrainConfig):
-    if tc.warmup_steps > 0:
-        return optax.warmup_cosine_decay_schedule(
-            0.0, base_lr, tc.warmup_steps, tc.max_steps, end_value=base_lr)
-    return base_lr
+    warmup = max(tc.warmup_steps, 0)
+    if tc.schedule == "constant":
+        if warmup > 0:
+            return optax.warmup_cosine_decay_schedule(
+                0.0, base_lr, warmup, tc.max_steps, end_value=base_lr)
+        return base_lr
+    floor = base_lr * tc.end_lr_ratio
+    decay_steps = max(tc.max_steps - warmup, 1)
+    if tc.schedule == "cosine":
+        decay = optax.cosine_decay_schedule(
+            base_lr, decay_steps, alpha=tc.end_lr_ratio)
+    elif tc.schedule == "linear":
+        decay = optax.linear_schedule(base_lr, floor, decay_steps)
+    else:
+        raise ValueError(f"unknown lr schedule {tc.schedule!r}")
+    if warmup > 0:
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, base_lr, warmup), decay], [warmup])
+    return decay
 
 
 def make_optimizer(params, tc: TrainConfig):
@@ -205,6 +227,89 @@ def renderer_train_step(state: RendererTrainState, opt,
     logs["grad_norm"] = optax.global_norm(grads)
     return RendererTrainState(params=new_params, opt_state=new_opt,
                               ema_params=ema, step=state.step + 1), logs
+
+
+def train_step_accum(state: TokenizerTrainState, opt, tcfg: TokenizerConfig,
+                     tc: TrainConfig, batch, rng, n_micro: int):
+    """One optimizer step over an EMULATED n_micro-way data-parallel global
+    batch, on one device. batch: [B_g, h, w, C] with B_g = n_micro * B_m.
+
+    Semantics are bit-identical to `train_step` on the full batch (which
+    under pjit equals the N-chip DP step — the sharded==single-device
+    equality tests): the VQ statistics/EMA/k-means/dead-code pass runs ONCE
+    on the global batch (phase A, gradient-free), and gradients accumulate
+    over microbatches (phase B, lax.scan) with the diversity term linearized
+    at the global batch-mean softmax — exact, because ap_k is linear in each
+    microbatch's softmax rows (models/vq.py vq_microbatch_surrogate).
+
+    Purpose: test large-global-batch VQ regimes (the reference's world-size-
+    scaled dead-code thresholds, vector_quantize_pytorch.py:538-543) without
+    N chips — activation memory stays at one microbatch.
+    """
+    from selftoktokenizer_tpu.models import vq as _vq
+    from selftoktokenizer_tpu.models.tokenizer import pre_vq_outs
+
+    B_g = batch.shape[0]
+    assert B_g % n_micro == 0, (B_g, n_micro)
+    B_m = B_g // n_micro
+    assert not tcfg.quantizer.get("continuous", False), \
+        "accumulation mode requires continuous=False"
+
+    # identical rng consumption to tokenizer_loss on the global batch
+    r_t, r_noise, r_drop, r_react = jax.random.split(rng, 4)
+    t = jax.random.uniform(r_t, (B_g,))
+    noise = jax.random.normal(r_noise, batch.shape, batch.dtype)
+    drop_p = tcfg.decoder.class_dropout_prob
+    drop = (jax.random.uniform(r_drop, (B_g,)) < drop_p) if drop_p > 0 else None
+
+    # ---- phase A: exact global-batch VQ forward + EMA state transition ----
+    outs_g, _ = pre_vq_outs(jax.lax.stop_gradient(state.params), tcfg, batch)
+    _, ids_g, quan_loss_g, new_vq_state, vq_logs, extras = _vq.vq_train_apply(
+        state.params["encoder"]["quantizer"], state.vq_state, outs_g,
+        tcfg.quantizer, rng=r_react, return_extras=True)
+
+    # ---- phase B: accumulate grads over microbatches ----
+    from selftoktokenizer_tpu.models.tokenizer import tokenizer_loss
+
+    def mb(gsum, idx):
+        def sl(a):
+            return jax.lax.dynamic_slice_in_dim(a, idx * B_m, B_m, axis=0)
+
+        inj = {"ids": sl(ids_g), "embed_used": extras["embed_used"],
+               "g_ap": extras["g_ap"]}
+
+        def loss_fn(p_):
+            return tokenizer_loss(
+                p_, tcfg, sl(batch), rng, vq_state=None, t=sl(t),
+                noise=sl(noise),
+                drop_ids=(sl(drop) if drop is not None else None),
+                vq_injected=inj)
+
+        (_, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
+        return gsum, aux["log_dict"]["dm_mse"]
+
+    zero = jax.tree_util.tree_map(
+        lambda a: jnp.zeros(a.shape, jnp.float32), state.params)
+    gsum, dm_mses = jax.lax.scan(mb, zero, jnp.arange(n_micro))
+    grads = jax.tree_util.tree_map(lambda g: g / n_micro, gsum)
+
+    updates, new_opt_state = opt.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    new_params["encoder"]["quantizer"]["embed"] = \
+        jax.lax.optimization_barrier(new_vq_state.embed)
+    ema = state.ema_params
+    if ema is not None:
+        d = tc.ema_decay
+        ema = jax.tree_util.tree_map(lambda e, p: d * e + (1 - d) * p,
+                                     ema, new_params)
+    dm_mse = jnp.mean(dm_mses)
+    logs = {"loss": dm_mse + quan_loss_g, "dm_mse": dm_mse,
+            **{f"vq_{k}": v for k, v in vq_logs.items()},
+            "grad_norm": optax.global_norm(grads)}
+    return TokenizerTrainState(
+        params=new_params, opt_state=new_opt_state, vq_state=new_vq_state,
+        ema_params=ema, step=state.step + 1), logs
 
 
 def train_step(state: TokenizerTrainState, opt, tcfg: TokenizerConfig,

@@ -99,6 +99,9 @@ def main():
         return
 
     import jax
+
+    from selftoktokenizer_tpu.utils.platform import honor_env_platform
+    honor_env_platform()
     import jax.numpy as jnp
 
     from selftoktokenizer_tpu.core.config import load_config

@@ -36,12 +36,24 @@ def main():
     p.add_argument("--log-interval", type=int, default=100)
     p.add_argument("--eval-interval", type=int, default=0)
     p.add_argument("--eval-batch", type=int, default=32)
+    p.add_argument("--eval-image-space", action="store_true",
+                   help="VAE-decode held-out one-step recons and report "
+                        "image PSNR/SSIM vs the corpus images (requires a "
+                        "--latents-file with a .meta.json sidecar from "
+                        "tools/encode_corpus.py); saves GT/recon PNG pairs "
+                        "at step 0 and the final eval")
+    p.add_argument("--lr-schedule", default="constant",
+                   choices=["constant", "cosine", "linear"])
+    p.add_argument("--end-lr-ratio", type=float, default=0.1)
     p.add_argument("--ckpt-interval", type=int, default=0)
     p.add_argument("--ckpt-dir", default="/tmp/renderer_ckpt")
     p.add_argument("--metrics-out", default=None)
     args = p.parse_args()
 
     import jax
+
+    from selftoktokenizer_tpu.utils.platform import honor_env_platform
+    honor_env_platform()
     import jax.numpy as jnp
     import numpy as np
 
@@ -50,7 +62,7 @@ def main():
     from selftoktokenizer_tpu.core.config import load_config
     from selftoktokenizer_tpu.models.mmdit import mmdit_init
     from selftoktokenizer_tpu.models.tokenizer import (
-        renderer_train_loss, tokenizer_config_from_params)
+        tokenizer_config_from_params)
     from selftoktokenizer_tpu.parallel.mesh import batch_sharding, make_mesh
     from selftoktokenizer_tpu.train.trainer import (
         TrainConfig, make_renderer_train_state, renderer_train_step)
@@ -83,7 +95,9 @@ def main():
 
     model_params = mmdit_init(jax.random.fold_in(key, 2), tcfg.decoder)
     tc = TrainConfig(dit_lr=args.dit_lr, warmup_steps=args.warmup,
-                     grad_norm=args.grad_norm, ema_decay=args.ema_decay)
+                     grad_norm=args.grad_norm, ema_decay=args.ema_decay,
+                     schedule=args.lr_schedule,
+                     end_lr_ratio=args.end_lr_ratio, max_steps=args.steps)
     state, opt = make_renderer_train_state(model_params, tc)
 
     mesh = make_mesh(data=len(jax.devices()))
@@ -96,8 +110,58 @@ def main():
 
     step_fn = jax.jit(lambda s, b: renderer_train_step(
         s, opt, tcfg, tc, enc_params, b))
-    eval_fn = jax.jit(lambda mp, x: renderer_train_loss(
-        mp, enc_params, tcfg, x)[0])
+
+    from selftoktokenizer_tpu.models.encoder import encoder_apply
+    from selftoktokenizer_tpu.models.mmdit import renderer_apply
+
+    @jax.jit
+    def eval_fn(mp, x):
+        d = jnp.full((x.shape[0],), tcfg.k - 1, jnp.int32)
+        ehs, _, _, mask, _, _, _ = encoder_apply(enc_params, tcfg.encoder,
+                                                 x, d=d)
+        pred = renderer_apply(mp, tcfg.decoder, ehs, mask=mask)
+        return jnp.mean((pred - x) ** 2), pred
+
+    img_fn = None
+    if args.eval_image_space:
+        from selftoktokenizer_tpu.models.vae import vae_decode
+        from selftoktokenizer_tpu.pipeline.preprocess import (load_image,
+                                                              save_image)
+        from selftoktokenizer_tpu.train.vae import load_vae_params
+        from selftoktokenizer_tpu.utils.io import walk_all_files
+        from selftoktokenizer_tpu.utils.metrics import psnr as _psnr
+        from selftoktokenizer_tpu.utils.metrics import ssim as _ssim
+
+        assert args.eval_interval, "--eval-image-space needs --eval-interval"
+        with open(args.latents_file + ".meta.json") as f:
+            lat_meta = json.load(f)
+        ev_params, ev_cfg = load_vae_params(lat_meta["vae_ckpt"])
+        ev_pb = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16),
+                                       ev_params)
+        img_paths = sorted(walk_all_files(lat_meta["images_dir"],
+                                          (".png", ".jpg", ".jpeg")))
+        gt_imgs = jnp.concatenate(
+            [load_image(q, lat_meta["size"])
+             for q in img_paths[n_train:n_train + n_eval]])
+        sh, sc = lat_meta["shift"], lat_meta["scale"]
+
+        @jax.jit
+        def img_fn(pred_lat):
+            img = vae_decode(ev_pb, ev_cfg,
+                             (pred_lat / sc + sh).astype(jnp.bfloat16))
+            img = jnp.clip(img.astype(jnp.float32), -1, 1)
+            a = (gt_imgs + 1) / 2
+            b = (img + 1) / 2
+            return jnp.mean(_psnr(a, b)), jnp.mean(_ssim(a, b)), img
+
+        def save_pair(img, at):
+            pair = jnp.concatenate(
+                [jnp.clip(gt_imgs[:8], -1, 1), img[:8]], axis=1)
+            grid = jnp.concatenate(list(pair), axis=1)
+            os.makedirs(args.ckpt_dir, exist_ok=True)
+            out = os.path.join(args.ckpt_dir, f"imgrecon_{at}.png")
+            save_image(np.asarray((grid + 1) / 2), out)
+            hf_logger.info(f"GT/recon pair -> {out}")
 
     metrics_f = open(args.metrics_out, "a") if args.metrics_out else None
 
@@ -107,9 +171,23 @@ def main():
             metrics_f.flush()
 
     def run_eval(at):
-        mse = float(eval_fn(state.params, eval_x))
-        hf_logger.info(f"eval @ {at}: held-out recon mse={mse:.4f}")
-        emit({"step": at, "eval_recon_mse": mse})
+        tracks = [("", state.params)]
+        if state.ema_params is not None:
+            tracks.append(("_ema", state.ema_params))
+        rec = {"step": at}
+        for tag, mp in tracks:
+            mse, pred = eval_fn(mp, eval_x)
+            rec[f"eval_recon_mse{tag}"] = float(mse)
+            msg = f"eval{tag} @ {at}: held-out recon mse={float(mse):.4f}"
+            if img_fn is not None:
+                ps, ss, img = img_fn(pred)
+                rec[f"eval_image_psnr_db{tag}"] = float(ps)
+                rec[f"eval_image_ssim{tag}"] = float(ss)
+                msg += f" | image PSNR={float(ps):.2f} dB SSIM={float(ss):.4f}"
+                if tag == "" and at in (0, args.steps):
+                    save_pair(img, at)
+            hf_logger.info(msg)
+        emit(rec)
 
     assert args.steps > 0
     B = args.batch_size

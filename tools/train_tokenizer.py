@@ -34,6 +34,11 @@ def main():
     p.add_argument("--grad-norm", type=float, default=0.0)
     p.add_argument("--ema-decay", type=float, default=0.0)
     p.add_argument("--warmup", type=int, default=0)
+    p.add_argument("--lr-schedule", default="constant",
+                   choices=["constant", "cosine", "linear"],
+                   help="post-warmup LR decay to --end-lr-ratio * lr at "
+                        "--steps (trainer TrainConfig.schedule)")
+    p.add_argument("--end-lr-ratio", type=float, default=0.1)
     p.add_argument("--log-interval", type=int, default=10)
     p.add_argument("--ckpt-interval", type=int, default=1000)
     p.add_argument("--ckpt-dir", default="/tmp/selftok_ckpt")
@@ -67,6 +72,14 @@ def main():
     p.add_argument("--eval-steps", type=int, default=25,
                    help="Euler steps for the --eval-interval decode")
     p.add_argument("--eval-batch", type=int, default=16)
+    p.add_argument("--eval-image-space", action="store_true",
+                   help="additionally VAE-decode the held-out diffusion "
+                        "recon and report image PSNR/SSIM vs the ground-"
+                        "truth corpus images. Requires --latents-file "
+                        "produced by tools/encode_corpus.py (reads its "
+                        ".meta.json sidecar for the trained-VAE checkpoint "
+                        "and latent normalisation); saves GT/recon PNG "
+                        "pairs at step 0 and the final eval")
     p.add_argument("--data-seed", type=int, default=None,
                    help="webdataset-parity shuffling for .tar corpora: "
                         "per-epoch global shard shuffle + sample shuffle "
@@ -87,6 +100,13 @@ def main():
                         "(members_seen//B includes failures and the dropped "
                         "partial tail), which can shift by whole batches. "
                         "Use exact mode on any corpus with failing members")
+    p.add_argument("--accum", type=int, default=1,
+                   help="emulate an N-way data-parallel GLOBAL batch on one "
+                        "device: --batch-size is the GLOBAL batch, split "
+                        "into N sequential microbatches with ONE VQ "
+                        "statistics/EMA apply per step (train_step_accum — "
+                        "bit-identical semantics to N-chip DP psum; the "
+                        "large-global-batch VQ regime tester)")
     p.add_argument("--mesh-fsdp", type=int, default=1)
     p.add_argument("--donate-state", action="store_true",
                    help="donate the train state into each step — halves "
@@ -98,6 +118,9 @@ def main():
     args = p.parse_args()
 
     import jax
+
+    from selftoktokenizer_tpu.utils.platform import honor_env_platform
+    honor_env_platform()
     import jax.numpy as jnp
     import numpy as np
 
@@ -125,7 +148,8 @@ def main():
     params = tokenizer_init(key, tcfg)
     tc = TrainConfig(dit_lr=args.dit_lr, token_lr=args.token_lr,
                      warmup_steps=args.warmup, grad_norm=args.grad_norm,
-                     ema_decay=args.ema_decay)
+                     ema_decay=args.ema_decay, schedule=args.lr_schedule,
+                     end_lr_ratio=args.end_lr_ratio, max_steps=args.steps)
     state, opt = make_train_state(params, tcfg, tc)
     start = 0
     if args.resume_from_steps:
@@ -301,8 +325,17 @@ def main():
         f"--resume-from-steps {start} >= --steps {args.steps}: nothing to do"
     assert not args.eval_interval or eval_lat is not None, \
         "--eval-interval requires --latents-file"
-    step_fn = jax.jit(lambda s, b, r: train_step(s, opt, tcfg, tc, b, r),
-                      donate_argnums=(0,) if args.donate_state else ())
+    if args.accum > 1:
+        from selftoktokenizer_tpu.train.trainer import train_step_accum
+
+        assert args.batch_size % args.accum == 0
+        step_fn = jax.jit(
+            lambda s, b, r: train_step_accum(s, opt, tcfg, tc, b, r,
+                                             n_micro=args.accum),
+            donate_argnums=(0,) if args.donate_state else ())
+    else:
+        step_fn = jax.jit(lambda s, b, r: train_step(s, opt, tcfg, tc, b, r),
+                          donate_argnums=(0,) if args.donate_state else ())
     meter = AverageMeter("loss")
 
     metrics_f = open(args.metrics_out, "a") if args.metrics_out else None
@@ -326,8 +359,8 @@ def main():
             """Held-out recon: encode -> quantized ids -> diffusion decode,
             latent-space MSE and SNR (10·log10 var/mse; a model that emits
             uncorrelated same-scale latents scores ≈ -3 dB, perfect recon
-            +inf — the VAE here is random-init so image PSNR would measure
-            the random decoder, not the tokenizer)."""
+            +inf). Returns the predicted latents too so --eval-image-space
+            can push them through the trained VAE."""
             from selftoktokenizer_tpu.models.mmdit import mmdit_apply
 
             ehs, _ = encoder_apply(params["encoder"], tcfg.encoder, x0)
@@ -341,15 +374,88 @@ def main():
                 step_k=step_k, K=tcfg.k)
             mse = jnp.mean((pred - x0) ** 2)
             var = jnp.var(x0)
-            return mse, 10.0 * jnp.log10(var / mse)
+            return mse, 10.0 * jnp.log10(var / mse), pred
+
+    # --eval-image-space: decode held-out latent recons through the TRAINED
+    # VAE (tools/encode_corpus.py sidecar) and score vs the real corpus
+    # images — the image-facing half of the pipeline run on trained output
+    img_fn = None
+    if args.eval_image_space:
+        from selftoktokenizer_tpu.models.vae import vae_decode
+        from selftoktokenizer_tpu.pipeline.preprocess import (load_image,
+                                                              save_image)
+        from selftoktokenizer_tpu.train.vae import load_vae_params
+        from selftoktokenizer_tpu.utils.io import walk_all_files
+        from selftoktokenizer_tpu.utils.metrics import psnr as _psnr
+        from selftoktokenizer_tpu.utils.metrics import ssim as _ssim
+
+        assert args.latents_file and args.eval_interval, \
+            "--eval-image-space requires --latents-file and --eval-interval"
+        with open(args.latents_file + ".meta.json") as f:
+            lat_meta = json.load(f)
+        ev_params, ev_cfg = load_vae_params(lat_meta["vae_ckpt"])
+        ev_pb = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16),
+                                       ev_params)
+        img_paths = sorted(walk_all_files(lat_meta["images_dir"],
+                                          (".png", ".jpg", ".jpeg")))
+        n_train_rows = lat_arr.shape[0] - args.eval_batch
+        gt_rows = img_paths[n_train_rows:n_train_rows + args.eval_batch]
+        gt_imgs = jnp.concatenate(
+            [load_image(q, lat_meta["size"]) for q in gt_rows])
+        sh, sc = lat_meta["shift"], lat_meta["scale"]
+
+        @jax.jit
+        def img_fn(pred_lat):
+            raw = pred_lat / sc + sh        # invert encode_corpus normalise
+            img = vae_decode(ev_pb, ev_cfg, raw.astype(jnp.bfloat16))
+            img = jnp.clip(img.astype(jnp.float32), -1, 1)
+            a = (gt_imgs + 1) / 2
+            b = (img + 1) / 2
+            return (jnp.mean(_psnr(a, b)), jnp.mean(_ssim(a, b)), img)
+
+        def save_pair(img, at_step):
+            pair = jnp.concatenate(
+                [jnp.clip(gt_imgs[:8], -1, 1), img[:8]], axis=1)
+            grid = jnp.concatenate(list(pair), axis=1)
+            os.makedirs(args.ckpt_dir, exist_ok=True)
+            out = os.path.join(args.ckpt_dir, f"imgrecon_{at_step}.png")
+            save_image(np.asarray((grid + 1) / 2), out)
+            hf_logger.info(f"GT/recon pair -> {out}")
 
     def run_eval(at_step):
-        mse, snr = eval_fn(state.params, jnp.asarray(eval_lat))
-        rec = {"step": at_step, "eval_latent_mse": float(mse),
-               "eval_latent_snr_db": float(snr)}
-        hf_logger.info(f"eval @ {at_step}: latent mse={rec['eval_latent_mse']:.4f} "
-                       f"snr={rec['eval_latent_snr_db']:.2f} dB "
-                       f"({args.eval_steps}-step decode, B={len(eval_lat)})")
+        tracks = [("", state.params)]
+        if state.ema_params is not None:
+            # EMA weights are the reference's published-numbers path
+            # (SelftokPipeline.py:193-194 loads ema_state_dict); the EMA
+            # tree includes the codebook copy, so encode+decode both run
+            # on the lagged weights
+            tracks.append(("_ema", state.ema_params))
+        rec = {"step": at_step}
+        for tag, pp in tracks:
+            mse, snr, pred = eval_fn(pp, jnp.asarray(eval_lat))
+            rec[f"eval_latent_mse{tag}"] = float(mse)
+            rec[f"eval_latent_snr_db{tag}"] = float(snr)
+            msg = (f"eval{tag} @ {at_step}: latent "
+                   f"mse={rec[f'eval_latent_mse{tag}']:.4f} "
+                   f"snr={rec[f'eval_latent_snr_db{tag}']:.2f} dB "
+                   f"({args.eval_steps}-step decode, B={len(eval_lat)})")
+            if img_fn is not None:
+                ps, ss, img = img_fn(pred)
+                rec[f"eval_image_psnr_db{tag}"] = float(ps)
+                rec[f"eval_image_ssim{tag}"] = float(ss)
+                msg += (f" | image PSNR={float(ps):.2f} dB "
+                        f"SSIM={float(ss):.4f}")
+                if tag == "" and at_step in (0, args.steps):
+                    save_pair(img, at_step)
+                if tag == "" and at_step == 0:
+                    # VAE ceiling: decode the GROUND-TRUTH latents — the
+                    # best any tokenizer can do through this VAE
+                    cps, css, _ = img_fn(jnp.asarray(eval_lat))
+                    rec["vae_ceiling_psnr_db"] = float(cps)
+                    rec["vae_ceiling_ssim"] = float(css)
+                    msg += (f" | VAE ceiling {float(cps):.2f} dB "
+                            f"/ {float(css):.4f}")
+            hf_logger.info(msg)
         emit(rec)
 
     pending_losses = []
