@@ -27,6 +27,7 @@ docs/ARCHITECTURE.md).
 """
 
 import json
+import os
 import time
 
 import jax
@@ -261,7 +262,7 @@ def main():
     except Exception as e:
         extras["variants"] = f"error: {type(e).__name__}"
 
-    print(json.dumps({
+    record = {
         "metric": "encode images/sec/chip @256px 512-token",
         "value": round(enc_img_per_s, 2),
         "unit": "images/sec",
@@ -270,8 +271,44 @@ def main():
             decode_img_per_s, str) else round(decode_img_per_s, 3),
         "renderer_images_per_s": render_img_per_s if isinstance(
             render_img_per_s, str) else round(render_img_per_s, 3),
+    }
+
+    # cross-round regression check (BASELINE.md variance table: no-change
+    # session variance is <=1.4%, so a >4% move signals a code-level shift):
+    # compare every throughput metric against the newest BENCH_r*.json
+    regressions = {}
+    try:
+        import glob
+        import re
+
+        prior_files = sorted(glob.glob(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_r*.json")))
+        if prior_files:
+            with open(prior_files[-1]) as f:
+                prior = json.load(f).get("parsed", {})
+            prev_round = re.search(r"r(\d+)", os.path.basename(
+                prior_files[-1])).group(0)
+            for k, new in {**record, "value": record["value"],
+                           **extras}.items():
+                if not k.endswith("_per_s") and k != "value":
+                    continue
+                old = prior.get(k if k != "value" else "value")
+                if isinstance(old, (int, float)) and \
+                        isinstance(new, (int, float)) and old > 0:
+                    dev = new / old - 1.0
+                    if abs(dev) > 0.04:
+                        regressions[k] = {
+                            "prior": old, "now": new, "vs": prev_round,
+                            "pct": round(100 * dev, 1)}
+    except Exception as e:  # the check must never break the bench
+        regressions = {"check_error": type(e).__name__}
+
+    print(json.dumps({
+        **record,
         "roofline": sol,
         **extras,
+        "regressions": regressions,
         "platform": platform,
         "batch": batch,
         # BENCH_r01 ran B=16 (~-5% vs B=32; sweep in docs/ARCHITECTURE.md) —
