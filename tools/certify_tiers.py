@@ -1,0 +1,176 @@
+"""Precision-tier certification on a TRAINED tokenizer checkpoint
+(VERDICT r4 next #4: the `high` tier's claims rested on random-weight
+margins that the trained-codebook data contradicted in spirit).
+
+For each encoder tier (highest / high / default-serving) against the
+HIGHEST reference ids:
+
+  * id flip rate over a latent corpus, with VQ top-2 margin statistics
+    (overall + at flip positions) and the code-cosine of flipped pairs,
+  * 25-step diffusion-decode latent MSE from each tier's ids on a held-out
+    batch — decode numerics held FIXED (fp32-HIGHEST) so only the id
+    differences are measured.
+
+    python tools/certify_tiers.py --ckpt /tmp/selftok_ckpt/step_20000 \
+        --yml-path configs/conv-small.yml --latents-file /tmp/lat128.npy \
+        [--n 1024] [--eval-batch 32] [--ema] [--out docs/tiers.jsonl]
+
+Tier semantics mirror pipeline._encode_impl exactly: 'default' runs the
+bf16 serving trunk + single-pass VQ scores; 'high'/'highest' keep fp32
+activations with the XLA attention (SelftokPipeline.py:162-..., see
+pipeline/pipeline.py:227-249).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt", required=True,
+                   help="save_train_state dir (step_N) from the campaign")
+    p.add_argument("--yml-path", required=True)
+    p.add_argument("--latents-file", required=True)
+    p.add_argument("--n", type=int, default=1024,
+                   help="corpus rows for flip/margin statistics")
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--eval-batch", type=int, default=32,
+                   help="held-out rows (taken from the END) for decode MSE")
+    p.add_argument("--decode-steps", type=int, default=25)
+    p.add_argument("--ema", action="store_true",
+                   help="certify the EMA params instead of the raw ones")
+    p.add_argument("--out", default=None)
+    args = p.parse_args()
+
+    import jax
+
+    from selftoktokenizer_tpu.utils.platform import honor_env_platform
+    honor_env_platform()
+    import jax.numpy as jnp
+    import numpy as np
+
+    from selftoktokenizer_tpu.core.checkpoint import restore_checkpoint
+    from selftoktokenizer_tpu.core.config import load_config
+    from selftoktokenizer_tpu.models import flow as flow_mod
+    from selftoktokenizer_tpu.models import vq as vq_mod
+    from selftoktokenizer_tpu.models.encoder import encoder_margins
+    from selftoktokenizer_tpu.models.mmdit import mmdit_apply
+    from selftoktokenizer_tpu.models.tokenizer import (
+        tokenizer_config_from_params)
+    from selftoktokenizer_tpu.ops.norms import layer_norm
+    from selftoktokenizer_tpu.utils.logging import hf_logger
+
+    cfg = load_config(args.yml_path)
+    tcfg = tokenizer_config_from_params(dict(cfg.tokenizer.params))
+    raw = restore_checkpoint(args.ckpt)
+    params = raw["ema_params"] if args.ema else raw["params"]
+    assert params is not None, "checkpoint has no ema_params" if args.ema \
+        else "checkpoint has no params"
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    enc = params["encoder"]
+    hf_logger.info(f"{'EMA' if args.ema else 'raw'} params from {args.ckpt} "
+                   f"(step {raw.get('step')})")
+
+    lat = np.load(args.latents_file, mmap_mode="r")
+    n_stat = min(args.n, lat.shape[0] - args.eval_batch)
+    eval_x = jnp.asarray(np.asarray(lat[-args.eval_batch:], np.float32))
+    hf_logger.info(f"latents {lat.shape}: {n_stat} stat rows, "
+                   f"{args.eval_batch} held-out decode rows")
+
+    def margins_fn(tier):
+        serving = tier == "default" and tcfg.encoder.qformer_mode == "dual"
+
+        @jax.jit
+        def f(x):
+            with jax.default_matmul_precision(tier):
+                return encoder_margins(
+                    enc, tcfg.encoder, x,
+                    trunk_dtype=jnp.bfloat16 if serving else None,
+                    fast_attn=serving)
+        return f
+
+    tiers = ("highest", "high", "default")
+    ids_all, marg_all = {}, {}
+    for tier in tiers:
+        f = margins_fn(tier)
+        ids_l, m_l = [], []
+        for i in range(0, n_stat, args.batch):
+            x = jnp.asarray(np.asarray(lat[i:i + args.batch], np.float32))
+            ids, m = f(x)
+            ids_l.append(np.asarray(ids))
+            m_l.append(np.asarray(m))
+        ids_all[tier] = np.concatenate(ids_l)
+        marg_all[tier] = np.concatenate(m_l)
+
+    # decode from ids, numerics fixed at fp32-HIGHEST for every tier
+    sched = flow_mod.make_schedule(args.decode_steps, 1.0, "uniform")
+    step_k = flow_mod.precompute_step_k(tcfg.make_diti(), sched)
+    ekey = jax.random.PRNGKey(424242)
+
+    @jax.jit
+    def decode_from_ids(ids, x0):
+        with jax.default_matmul_precision("highest"):
+            ctx = vq_mod.get_output_from_indices(enc["quantizer"], ids)
+            if tcfg.encoder.post_norm:
+                ctx = layer_norm(ctx, **enc["final_layer_norm3"])
+
+            def mfn(xx, tt, e, m):
+                return mmdit_apply(params["model"], tcfg.decoder, xx, tt, e,
+                                   mask=m,
+                                   context_see_xt=tcfg.context_see_xt)
+
+            pred = flow_mod.p_sample_loop(
+                mfn, sched, jax.random.normal(ekey, x0.shape), ctx,
+                step_k=step_k, K=tcfg.k)
+            return jnp.mean((pred - x0) ** 2)
+
+    eval_ids = {}
+    for tier in tiers:
+        f = margins_fn(tier)
+        eval_ids[tier], _ = f(eval_x)
+
+    embed = np.array(enc["quantizer"]["embed"], np.float32)
+    embed /= np.linalg.norm(embed, axis=-1, keepdims=True) + 1e-12
+
+    ref_ids = ids_all["highest"]
+    records = []
+    for tier in tiers:
+        ids, m = ids_all[tier], marg_all[tier]
+        flips = ids != ref_ids
+        rec = {
+            "tier": tier,
+            "ckpt": args.ckpt, "step": int(raw.get("step", -1)),
+            "ema": bool(args.ema),
+            "n_tokens": int(ids.size),
+            "flip_rate_vs_highest": float(flips.mean()),
+            "margin_median": float(np.median(m)),
+            "margin_p1": float(np.percentile(m, 1)),
+            "frac_margin_lt_1e2": float((m < 1e-2).mean()),
+            "decode_mse": float(decode_from_ids(eval_ids[tier], eval_x)),
+            "eval_flip_rate": float(
+                (np.asarray(eval_ids[tier])
+                 != np.asarray(eval_ids["highest"])).mean()),
+        }
+        if flips.any():
+            cos = np.einsum("nd,nd->n", embed[ids[flips]],
+                            embed[ref_ids[flips]])
+            rec["flip_margin_median"] = float(np.median(
+                marg_all["highest"][flips]))
+            rec["flip_code_cosine_median"] = float(np.median(cos))
+            rec["flip_code_cosine_min"] = float(cos.min())
+        records.append(rec)
+        hf_logger.info(json.dumps(rec))
+
+    if args.out:
+        with open(args.out, "a") as f:
+            for rec in records:
+                f.write(json.dumps(rec) + "\n")
+
+
+if __name__ == "__main__":
+    main()
