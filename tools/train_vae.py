@@ -85,6 +85,9 @@ def main():
         all_u8[n_train:n_train + args.eval_batch].astype(np.float32)
         / 127.5 - 1.0)
 
+    # SD3 GroupNorm is fixed at 32 groups (sd3_impls.py Normalize); every
+    # width ch*mult must divide into them or the reshape fails mid-train
+    assert args.ch % 32 == 0, f"--ch {args.ch} must be a multiple of 32"
     cfg = VAEConfig(ch=args.ch,
                     ch_mult=tuple(int(m) for m in args.ch_mult.split(",")),
                     num_res_blocks=args.res_blocks)
