@@ -69,8 +69,12 @@ def _lr_schedule(base_lr, tc: TrainConfig):
     warmup = max(tc.warmup_steps, 0)
     if tc.schedule == "constant":
         if warmup > 0:
+            # decay span clamped >= warmup+1: optax requires positive cosine
+            # decay_steps even though end_value==base makes it a no-op (a
+            # short smoke run with steps < warmup would otherwise crash)
             return optax.warmup_cosine_decay_schedule(
-                0.0, base_lr, warmup, tc.max_steps, end_value=base_lr)
+                0.0, base_lr, warmup, max(tc.max_steps, warmup + 1),
+                end_value=base_lr)
         return base_lr
     floor = base_lr * tc.end_lr_ratio
     decay_steps = max(tc.max_steps - warmup, 1)
