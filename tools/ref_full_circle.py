@@ -134,9 +134,19 @@ def main():
     missing, unexpected = tok.load_state_dict(
         {k: torch.from_numpy(np.ascontiguousarray(v))
          for k, v in sd.items()}, strict=False)
-    from tests.test_export import _benign_missing
-    bad_missing = [k for k in missing
-                   if not _benign_missing(k, renderer=args.renderer)]
+    def _benign_missing(k):
+        """Keys the reference never reads back (tests/test_export.py
+        _benign_missing, parameterized by the campaign depth): diffusion
+        schedule buffers, the config-constant continuous flag, the dead
+        last-block context t_embedder (pre_only), the renderer's unused
+        base pos_embed."""
+        return (k.startswith("diffusion.")
+                or k == "encoder.quantizer.continuous"
+                or (args.renderer and k == "model.pos_embed")
+                or k.startswith(f"model.joint_blocks.{depth - 1}"
+                                ".context_block.t_embedder."))
+
+    bad_missing = [k for k in missing if not _benign_missing(k)]
     res = {"ckpt": args.ckpt, "step": int(raw.get("step", -1)),
            "ema": bool(args.ema), "renderer": bool(args.renderer),
            "unexpected_keys": len(unexpected),
