@@ -223,6 +223,12 @@ def main():
                     tree = {"params": {"encoder": enc_params,
                                        "model": state.params},
                             "step": state.step}
+                    if state.ema_params is not None:
+                        # same tree shape as params: the reference's
+                        # ema_state_dict evaluation path and the export
+                        # tooling consume either tree interchangeably
+                        tree["ema_params"] = {"encoder": enc_params,
+                                              "model": state.ema_params}
                     if vq_state is not None:
                         tree["vq_state"] = dict(vq_state)
                     save_checkpoint(
