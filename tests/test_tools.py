@@ -354,3 +354,45 @@ def test_merge_token_parts(tmp_path):
                          "--out", str(out)], env=ENV, cwd=REPO,
                         capture_output=True, text=True)
     assert r2.returncode != 0 and "duplicate" in r2.stderr
+
+
+def test_certify_tiers_and_full_circle(tmp_path):
+    """Round-5 trained-checkpoint tooling at CI scale: a short training run
+    (EMA on) -> certify_tiers (per-tier flips/margins/decode-MSE, raw+EMA)
+    -> ref_full_circle (export loads into the unmodified reference,
+    bit-exact ids)."""
+    lat = str(tmp_path / "lat.npy")
+    np.save(lat, np.random.default_rng(0).standard_normal(
+        (48, 8, 8, 16)).astype(np.float32))
+    ckpt_dir = str(tmp_path / "ck")
+    _run(["tools/train_tokenizer.py", "--yml-path", TINY_YML,
+          "--latents-file", lat, "--steps", "4", "--batch-size", "8",
+          "--ema-decay", "0.9", "--ckpt-interval", "4",
+          "--ckpt-dir", ckpt_dir], timeout=600)
+    ckpt = os.path.join(ckpt_dir, "step_4")
+
+    out = str(tmp_path / "tiers.jsonl")
+    for extra in ([], ["--ema"]):
+        _run(["tools/certify_tiers.py", "--ckpt", ckpt,
+              "--yml-path", TINY_YML, "--latents-file", lat,
+              "--n", "32", "--batch", "16", "--eval-batch", "8",
+              "--decode-steps", "2", "--out", out] + extra, timeout=600)
+    recs = [json.loads(l) for l in open(out)]
+    assert len(recs) == 6  # 3 tiers x {raw, ema}
+    by = {(r["tier"], r["ema"]): r for r in recs}
+    for ema in (False, True):
+        assert by[("highest", ema)]["flip_rate_vs_highest"] == 0.0
+        for tier in ("highest", "high", "default"):
+            r = by[(tier, ema)]
+            assert np.isfinite(r["decode_mse"]) and r["n_tokens"] == 256
+
+    fc = str(tmp_path / "fc.jsonl")
+    for extra in ([], ["--ema"]):
+        _run(["tools/ref_full_circle.py", "--ckpt", ckpt,
+              "--yml-path", TINY_YML, "--latents-file", lat,
+              "--n", "8", "--out", fc] + extra, timeout=600)
+    frecs = [json.loads(l) for l in open(fc)]
+    assert len(frecs) == 2
+    for r in frecs:
+        assert r["ids_bit_exact"] and r["unexpected_keys"] == 0
+        assert r["model_pred_max_abs_diff"] < 1e-4
