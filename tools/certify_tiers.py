@@ -85,14 +85,17 @@ def main():
     def margins_fn(tier):
         serving = tier == "default" and tcfg.encoder.qformer_mode == "dual"
 
+        # params travel as jit ARGUMENTS: a closure would serialize the
+        # whole tree as HLO constants, which the remote-compile tunnel
+        # rejects at flagship-encoder size (HTTP 413)
         @jax.jit
-        def f(x):
+        def f_(ep, x):
             with jax.default_matmul_precision(tier):
                 return encoder_margins(
-                    enc, tcfg.encoder, x,
+                    ep, tcfg.encoder, x,
                     trunk_dtype=jnp.bfloat16 if serving else None,
                     fast_attn=serving)
-        return f
+        return lambda x: f_(enc, x)
 
     tiers = ("highest", "high", "default")
     ids_all, marg_all = {}, {}
@@ -113,14 +116,15 @@ def main():
     ekey = jax.random.PRNGKey(424242)
 
     @jax.jit
-    def decode_from_ids(ids, x0):
+    def _decode_from_ids(pp, ids, x0):
         with jax.default_matmul_precision("highest"):
-            ctx = vq_mod.get_output_from_indices(enc["quantizer"], ids)
+            ep = pp["encoder"]
+            ctx = vq_mod.get_output_from_indices(ep["quantizer"], ids)
             if tcfg.encoder.post_norm:
-                ctx = layer_norm(ctx, **enc["final_layer_norm3"])
+                ctx = layer_norm(ctx, **ep["final_layer_norm3"])
 
             def mfn(xx, tt, e, m):
-                return mmdit_apply(params["model"], tcfg.decoder, xx, tt, e,
+                return mmdit_apply(pp["model"], tcfg.decoder, xx, tt, e,
                                    mask=m,
                                    context_see_xt=tcfg.context_see_xt)
 
@@ -128,6 +132,9 @@ def main():
                 mfn, sched, jax.random.normal(ekey, x0.shape), ctx,
                 step_k=step_k, K=tcfg.k)
             return jnp.mean((pred - x0) ** 2)
+
+    def decode_from_ids(ids, x0):
+        return _decode_from_ids(params, ids, x0)
 
     eval_ids = {}
     for tier in tiers:
