@@ -70,8 +70,17 @@ def _init_dist_and_shim(ref):
     import torch.distributed as tdist
 
     if not tdist.is_initialized():
+        # ephemeral port: a fixed one collides (EADDRINUSE) when two
+        # processes using this helper start seconds apart — the previous
+        # server socket can still be in TIME_WAIT
+        import socket
+
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
         tdist.init_process_group(
-            "gloo", init_method="tcp://127.0.0.1:29511", rank=0, world_size=1)
+            "gloo", init_method=f"tcp://127.0.0.1:{port}", rank=0,
+            world_size=1)
     orig = ref.vq.calc_entropy
     if not getattr(orig, "_shimmed", False):
         def shim(x, min_ref=None, _orig=orig):
